@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,36 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from doc_quality_check_ray.pipelines import oracle as O
+from doc_quality_check_ray.pipelines import validate as V
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full validation sweep (row + key + conv checks)
+    over transcripts derived from sf0.001 — returns the violation-row Dataset."""
+    return V.q_all_violations("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "v_row_violations": V.q_row_violations,
+        "v_verdicts": V.q_verdicts,
+        "v_duplicate_keys": V.q_duplicate_keys,
+        "v_turn_gaps": V.q_turn_gaps,
+        "v_column_stats": V.q_column_stats,
+        "v_role_distribution": V.q_role_distribution,
+        "v_all_violations": V.q_all_violations,
+        "v_partition_verdicts": V.q_partition_verdicts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "v_row_violations": O.sql_row_violations(),
+        "v_verdicts": O.sql_verdicts(),
+        "v_duplicate_keys": O.sql_duplicate_keys(),
+        "v_turn_gaps": O.sql_turn_gaps(),
+        "v_column_stats": O.sql_column_stats(),
+        "v_role_distribution": O.sql_role_distribution(),
+        "v_partition_verdicts": O.sql_partition_verdicts(),
+    }

@@ -1,0 +1,83 @@
+"""Engine configuration — the analog of the reference's ``config.json`` +
+``modules/config_loader.py`` singleton.
+
+The reference loads one JSON config as a process-global singleton
+(``config_loader.py:13-19,308-314``) with dot-path access (``:247-267``).
+The engine replaces the singleton with a frozen dataclass constructed on the
+driver and *passed into* task closures / actor constructors — it ships through
+the Ray object store once per worker, giving the same "load once, read
+everywhere" semantics without mutable process-global state (SURVEY.md §2.9 T2).
+
+All thresholds live here, none hardcoded in stages — mirroring the reference's
+"all thresholds/weights in config" extension surface (``config.json:58-101``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+
+@dataclasses.dataclass(frozen=True)
+class ValidationConfig:
+    """Thresholds and domains for the validation pipeline.
+
+    Reference analogs:
+      - ``emptiness_threshold`` slider (``app.py:243``, M13) → empty-turn check.
+      - ``readability_threshold`` (``app.py:358-362``, M14) → ``quality_ratio_threshold``.
+      - Enum domains ``DocumentType``/``DocumentSide``
+        (``modules/identity_detection.py:22-35``) → ``valid_roles``.
+    """
+
+    # Row checks -----------------------------------------------------------
+    valid_roles: tuple[str, ...] = ("user", "assistant", "tool")
+    #: fraction of [0-9A-Za-z space] chars below which non-empty text is
+    #: flagged ``low_quality_text`` (readability analog, M2/M14).
+    quality_ratio_threshold: float = 0.5
+    #: priority order for the single per-row ``reason`` — the reference checks
+    #: empty before unreadable (``app.py:369-380``).
+    reason_priority: tuple[str, ...] = (
+        "empty_turn",
+        "invalid_role",
+        "tool_role_consistency",
+        "low_quality_text",
+    )
+
+    # Partitioning ---------------------------------------------------------
+    #: number of logical partitions for per-partition verdicts / resumable
+    #: output layout. Partition id = numeric_conv_id % n_partitions so the
+    #: oracle can recompute it (at cluster scale this is a hash of conv_id).
+    n_partitions: int = 32
+    #: salt fan-out for skew-aware per-conversation aggregation (hot conv_ids).
+    skew_salt: int = 16
+    #: conversations with more than this many turns take the salted
+    #: two-stage aggregation path.
+    hot_conv_turns: int = 100_000
+
+    # Stats / drift --------------------------------------------------------
+    #: number of buckets for text-length histograms used by the drift check.
+    length_hist_buckets: tuple[int, ...] = (0, 16, 64, 128, 256, 512, 1024, 4096)
+    #: PSI above which a drift violation is raised (common industry rule of
+    #: thumb: 0.1 moderate, 0.25 major shift).
+    psi_threshold: float = 0.25
+    #: t-digest compression (max centroids) for quantile sketches.
+    tdigest_compression: int = 200
+
+    # Execution ------------------------------------------------------------
+    batch_size: int = 65_536
+    drift_actor_pool: int = 2
+
+    @staticmethod
+    def from_json(path: str | Path) -> "ValidationConfig":
+        raw = json.loads(Path(path).read_text())
+        known = {f.name for f in dataclasses.fields(ValidationConfig)}
+        kwargs = {}
+        for k, v in raw.items():
+            if k not in known:
+                raise KeyError(f"unknown config key: {k}")
+            kwargs[k] = tuple(v) if isinstance(v, list) else v
+        return ValidationConfig(**kwargs)
+
+
+DEFAULT_CONFIG = ValidationConfig()

@@ -1,0 +1,149 @@
+"""The validation pipeline — the engine's flagship entry points.
+
+Shape (SURVEY.md §3.1 "new-engine shape")::
+
+    read/derive transcripts
+      → map_batches(row checks)                      (stateless, Arrow)
+      → key_counts combiner → groupby uniqueness     (shuffle, keys only)
+      → per-conversation contiguity from partials    (shuffle, partials only)
+      → union violations → partition verdicts        (tiny)
+
+Each ``q_*`` function is one driver-verifiable query: it takes ``sf_dir`` and
+returns a Dataset / Arrow table whose DuckDB twin lives in
+:mod:`doc_quality_check_ray.pipelines.oracle`.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import DEFAULT_CONFIG, ValidationConfig
+from ..sources.transcripts import derive_transcripts
+from ..stages.keys import (
+    duplicate_key_violations,
+    duplicate_keys,
+    turn_gap_violations,
+    turn_gaps,
+)
+from ..stages.row_checks import row_checks, verdicts
+from ..stages.stats import column_stats
+
+
+def q_row_violations(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    return row_checks(derive_transcripts(sf_dir), cfg)
+
+
+def q_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    return verdicts(derive_transcripts(sf_dir), cfg)
+
+
+def q_duplicate_keys(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    return duplicate_keys(derive_transcripts(sf_dir), cfg)
+
+
+def q_turn_gaps(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    return turn_gaps(derive_transcripts(sf_dir), cfg)
+
+
+def q_column_stats(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    return column_stats(derive_transcripts(sf_dir), cfg)
+
+
+def q_role_distribution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Role frequency table — the analog of the reference's global
+    keyword-frequency aggregation (``modules/identity_detection.py:261-327``).
+
+    Per-batch combiner → groupby merge; shuffles one row per role per batch.
+    """
+    ds = derive_transcripts(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["role"])
+            .group_by("role")
+            .aggregate([([], "count_all")])
+            .rename_columns(["role", "n"])
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return partials.groupby("role").aggregate(Sum("n", alias_name="n"))
+
+
+def all_violations(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Union of every violation source in the shared violation-row format."""
+    return (
+        row_checks(ds, cfg)
+        .union(duplicate_key_violations(ds, cfg))
+        .union(turn_gap_violations(ds, cfg))
+    )
+
+
+def q_all_violations(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    return all_violations(derive_transcripts(sf_dir), cfg)
+
+
+def partition_id_col(conv_id, n_partitions: int):
+    """partition_id = numeric conv id % n_partitions (oracle-recomputable).
+
+    At cluster scale this is a hash of conv_id; the modulo form exists so the
+    SQL oracle can derive the identical id.
+    """
+    pid = pc.cast(pc.utf8_slice_codeunits(conv_id, 1, 2**31 - 1), pa.int64())
+    return pc.subtract(pid, pc.multiply(pc.divide(pid, n_partitions), n_partitions))
+
+
+def q_partition_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Per-partition pass/fail manifest (PARTITION_VERDICT_SCHEMA).
+
+    Both sides (row counts, violation counts) are per-batch combined, grouped
+    on the ≤``n_partitions`` partition ids, and merged driver-side — the
+    output is bounded by the partition count, never by data size.
+    """
+    ds = derive_transcripts(sf_dir)
+    npart = cfg.n_partitions
+
+    def rows_partial(t: pa.Table) -> pa.Table:
+        pid = partition_id_col(t["conv_id"], npart)
+        g = (
+            pa.table({"partition_id": pid})
+            .group_by("partition_id")
+            .aggregate([([], "count_all")])
+            .rename_columns(["partition_id", "n"])
+        )
+        return g
+
+    rows_per = (
+        ds.map_batches(rows_partial, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .groupby("partition_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    viol_per = (
+        all_violations(ds, cfg)
+        .map_batches(rows_partial, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .groupby("partition_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    merged = rows_per.rename(columns={"n": "n_rows"}).merge(
+        viol_per.rename(columns={"n": "n_violations"}), on="partition_id", how="left"
+    )
+    merged["n_violations"] = merged["n_violations"].fillna(0).astype("int64")
+    merged["passed"] = merged["n_violations"] == 0
+    merged = merged.sort_values("partition_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "partition_id": pa.array(merged["partition_id"].astype("int32")),
+            "n_rows": pa.array(merged["n_rows"].astype("int64")),
+            "n_violations": pa.array(merged["n_violations"]),
+            "passed": pa.array(merged["passed"]),
+        }
+    )

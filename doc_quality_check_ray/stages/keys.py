@@ -1,0 +1,189 @@
+"""Key-level checks: uniqueness of ``(conv_id, turn_idx)`` and per-conversation
+``turn_idx`` contiguity.
+
+Reference analogs: geometric IoU near-dup suppression
+(``modules/document_segmentation.py:143-228``) → exact duplicate-key detection;
+pairwise per-page group repair (``modules/identity_detection.py:189-259``) →
+per-conversation contiguity (SURVEY.md §7.1).
+
+Scale design (the part that matters at 10^12 turns):
+
+- ``text`` is projected away before any shuffle — only the two key columns
+  move (SURVEY.md §7.4 "wide text rows").
+- A **per-batch combiner** (Arrow ``group_by`` inside ``map_batches``) collapses
+  each batch to one partial row per distinct key before the all-to-all
+  exchange, so the global ``groupby`` shuffles ≤ distinct-keys-per-batch rows,
+  not raw turns. A key duplicated a million times inside hot blocks reduces to
+  per-block counts — this *is* the skew salting for uniqueness: the natural
+  block partitioning acts as the salt, and the global groupby merges partials.
+- Contiguity is computed from **order-free mergeable partials**
+  ``(n, n_distinct, min_idx, max_idx)`` — no sort-within-group, no
+  materialization of a whole conversation in one task, so a hot conv_id with
+  100M turns cannot OOM a worker (SURVEY.md §4.2 "skew").
+
+Contiguity rule: a conversation passes iff its distinct turn indices are
+exactly ``0..d-1`` **and** it has no duplicate keys::
+
+    violated  ⟺  NOT (min_idx = 0  AND  max_idx = d - 1  AND  n = d)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..config import DEFAULT_CONFIG, ValidationConfig
+from ..schema import VIOLATION_SCHEMA
+
+CHECK_DUP = "duplicate_key"
+CHECK_GAP = "turn_gap"
+
+
+def _partial_key_counts(t: pa.Table) -> pa.Table:
+    """Combiner: batch → one row per distinct (conv_id, turn_idx) with count."""
+    out = t.select(["conv_id", "turn_idx"]).group_by(["conv_id", "turn_idx"]).aggregate(
+        [([], "count_all")]
+    )
+    return out.rename_columns(["conv_id", "turn_idx", "cnt"])
+
+
+def key_counts(ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Dataset → one row per distinct key: (conv_id, turn_idx, cnt).
+
+    partial-per-batch → hash-shuffle on the fine-grained key → sum merge.
+    """
+    partials = ds.map_batches(
+        _partial_key_counts,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    return partials.groupby(["conv_id", "turn_idx"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+
+
+def duplicate_keys(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Duplicate-key table: (conv_id, turn_idx, n_dups=cnt) for cnt > 1."""
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.greater(t["cnt"], 1))
+        return pa.table(
+            {
+                "conv_id": hit["conv_id"],
+                "turn_idx": hit["turn_idx"],
+                "n_dups": pc.cast(hit["cnt"], pa.int64()),
+            }
+        )
+
+    return key_counts(ds, cfg).map_batches(keep_dups, batch_format="pyarrow")
+
+
+def duplicate_key_violations(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Duplicate keys in violation-row format (check_id=duplicate_key)."""
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "check_id": pa.array([CHECK_DUP] * t.num_rows, pa.string()),
+                "detail": pc.binary_join_element_wise(
+                    "n=", pc.cast(t["n_dups"], pa.string()), ""
+                ),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+
+    return duplicate_keys(ds, cfg).map_batches(fmt, batch_format="pyarrow")
+
+
+def conversation_stats(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Per-conversation order-free stats: (conv_id, n, n_distinct, min_idx, max_idx).
+
+    Two-stage: the distinct-key table from :func:`key_counts` is re-combined
+    per batch per conv_id, then a coarse ``groupby(conv_id)`` merges partials.
+    All four stats are mergeable, so no conversation is ever held whole.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("conv_id").aggregate(
+            [("cnt", "sum"), ([], "count_all"), ("turn_idx", "min"), ("turn_idx", "max")]
+        )
+        return g.rename_columns(["conv_id", "n", "n_distinct", "min_idx", "max_idx"])
+
+    partials = key_counts(ds, cfg).map_batches(
+        partial, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    return partials.groupby("conv_id").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("n_distinct", alias_name="n_distinct"),
+        Min("min_idx", alias_name="min_idx"),
+        Max("max_idx", alias_name="max_idx"),
+    )
+
+
+def turn_gaps(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Offending conversations: (conv_id, n, n_distinct, min_idx, max_idx)."""
+
+    def keep_gaps(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.equal(t["min_idx"], 0),
+                pc.equal(t["max_idx"], pc.subtract(t["n_distinct"], 1)),
+            ),
+            pc.equal(t["n"], t["n_distinct"]),
+        )
+        hit = t.filter(pc.invert(ok))
+        return pa.table(
+            {
+                "conv_id": hit["conv_id"],
+                "n": pc.cast(hit["n"], pa.int64()),
+                "n_distinct": pc.cast(hit["n_distinct"], pa.int64()),
+                "min_idx": pc.cast(hit["min_idx"], pa.int64()),
+                "max_idx": pc.cast(hit["max_idx"], pa.int64()),
+            }
+        )
+
+    return conversation_stats(ds, cfg).map_batches(keep_gaps, batch_format="pyarrow")
+
+
+def turn_gap_violations(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Turn gaps in violation-row format; ``turn_idx=-1`` marks conv-level."""
+
+    def fmt(t: pa.Table) -> pa.Table:
+        detail = pc.binary_join_element_wise(
+            "n=",
+            pc.cast(t["n"], pa.string()),
+            ",distinct=",
+            pc.cast(t["n_distinct"], pa.string()),
+            ",min=",
+            pc.cast(t["min_idx"], pa.string()),
+            ",max=",
+            pc.cast(t["max_idx"], pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pa.array([-1] * t.num_rows, pa.int32()),
+                "check_id": pa.array([CHECK_GAP] * t.num_rows, pa.string()),
+                "detail": detail,
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+
+    return turn_gaps(ds, cfg).map_batches(fmt, batch_format="pyarrow")
