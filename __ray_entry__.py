@@ -34,6 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_role_distribution": V.q_role_distribution,
         "v_all_violations": V.q_all_violations,
         "v_partition_verdicts": V.q_partition_verdicts,
+        "v_role_drift": V.q_role_drift,
+        "v_text_len_quantiles": V.q_text_len_quantiles,
+        "v_drift_report": V.q_drift_report,
     }
 
 
@@ -46,4 +49,5 @@ def oracle_sql() -> dict[str, str]:
         "v_column_stats": O.sql_column_stats(),
         "v_role_distribution": O.sql_role_distribution(),
         "v_partition_verdicts": O.sql_partition_verdicts(),
+        "v_role_drift": O.sql_role_drift(),
     }

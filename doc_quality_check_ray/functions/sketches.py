@@ -1,0 +1,164 @@
+"""Mergeable sketches for distributed per-column statistics.
+
+The distributed generalization of the reference's percentile analysis
+(``tests/analyze_thresholds.py:107-113`` sorts all scores on one machine and
+indexes percentiles) — at 10^12 rows the engine instead computes **mergeable
+partials per batch** and tree-merges them:
+
+- :class:`Histogram` — fixed-bucket counts (text length / ts ranges), the
+  basis of the PSI/KL drift check;
+- :class:`TDigest` — approximate quantiles, a from-scratch implementation of
+  Dunning & Ertl's t-digest (public algorithm, "Computing Extremely Accurate
+  Quantiles Using t-Digests", arXiv:1902.04023): centroids compressed under
+  the k1 scale function; merge = concatenate + recompress, so per-batch
+  digests combine associatively on the driver or in a reduce stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Histogram:
+    """Fixed-bucket histogram; bucket i counts values in [edges[i], edges[i+1]);
+    an overflow bucket catches values >= edges[-1]."""
+
+    edges: tuple[float, ...]
+    counts: np.ndarray  # len(edges) buckets (last = overflow)
+
+    @staticmethod
+    def empty(edges: tuple[float, ...]) -> "Histogram":
+        return Histogram(tuple(edges), np.zeros(len(edges), dtype=np.int64))
+
+    @staticmethod
+    def of(values: np.ndarray, edges: tuple[float, ...]) -> "Histogram":
+        h = Histogram.empty(edges)
+        if len(values):
+            idx = np.searchsorted(np.asarray(edges[1:]), values, side="right")
+            h.counts += np.bincount(idx, minlength=len(edges)).astype(np.int64)
+        return h
+
+    def merge(self, other: "Histogram") -> "Histogram":
+        assert self.edges == other.edges
+        return Histogram(self.edges, self.counts + other.counts)
+
+    def to_list(self) -> list[int]:
+        return self.counts.tolist()
+
+
+def psi(p_counts: np.ndarray, q_counts: np.ndarray, eps: float = 1e-6) -> float:
+    """Population Stability Index between two count vectors (smoothed).
+
+    The drift score the engine gates on — the analog of the reference's
+    broadcast frequency-adjustment comparing each record's features against
+    the global distribution (``modules/identity_detection.py:329-451``).
+    """
+    p = np.asarray(p_counts, dtype=np.float64)
+    q = np.asarray(q_counts, dtype=np.float64)
+    p = np.maximum(p / max(p.sum(), 1.0), eps)
+    q = np.maximum(q / max(q.sum(), 1.0), eps)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def kl_divergence(p_counts: np.ndarray, q_counts: np.ndarray, eps: float = 1e-6) -> float:
+    p = np.asarray(p_counts, dtype=np.float64)
+    q = np.asarray(q_counts, dtype=np.float64)
+    p = np.maximum(p / max(p.sum(), 1.0), eps)
+    q = np.maximum(q / max(q.sum(), 1.0), eps)
+    return float(np.sum(p * np.log(p / q)))
+
+
+class TDigest:
+    """Compact merging t-digest (k1 scale function), numpy-vectorized.
+
+    Centroids are (mean, weight) pairs kept sorted by mean; ``compress``
+    re-clusters them so each cluster's k-size stays ≤ 1 at the configured
+    compression δ. Accuracy is highest at the tails (the property the
+    threshold-sweep analog needs).
+    """
+
+    def __init__(self, compression: int = 200):
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    # -- construction ------------------------------------------------------
+    def add(self, values: np.ndarray) -> "TDigest":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return self
+        self.means = np.concatenate([self.means, values])
+        self.weights = np.concatenate([self.weights, np.ones(len(values))])
+        if len(self.means) > 8 * self.compression:
+            self.compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.compression)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out.compress()
+        return out
+
+    # -- internals ---------------------------------------------------------
+    @staticmethod
+    def _k1(q: np.ndarray, d: float) -> np.ndarray:
+        return (d / (2 * math.pi)) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def compress(self) -> None:
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="mergesort")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        d = float(self.compression)
+        # cumulative quantile of each centroid's left edge
+        q_left = (np.cumsum(weights) - weights) / total
+        k = self._k1(q_left, d)
+        # greedy clustering: start a new cluster when k-size would exceed 1
+        cluster = np.zeros(len(means), dtype=np.int64)
+        cid, k_start = 0, k[0]
+        for i in range(len(means)):
+            if k[i] - k_start > 1.0:
+                cid += 1
+                k_start = k[i]
+            cluster[i] = cid
+        ncl = cid + 1
+        w = np.bincount(cluster, weights=weights, minlength=ncl)
+        m = np.bincount(cluster, weights=weights * means, minlength=ncl) / w
+        self.means, self.weights = m, w
+
+    # -- queries -----------------------------------------------------------
+    def quantile(self, q: float) -> float:
+        self.compress()
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        target = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2
+        i = np.searchsorted(cum, target)
+        if i == 0:
+            return float(self.means[0])
+        if i >= len(self.means):
+            return float(self.means[-1])
+        t = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
+        return float(self.means[i - 1] + t * (self.means[i] - self.means[i - 1]))
+
+    # -- serialization (rides in Arrow list<double> columns) ---------------
+    def to_arrays(self) -> tuple[list[float], list[float]]:
+        self.compress()
+        return self.means.tolist(), self.weights.tolist()
+
+    @staticmethod
+    def from_arrays(means, weights, compression: int = 200) -> "TDigest":
+        d = TDigest(compression)
+        d.means = np.asarray(means, dtype=np.float64)
+        d.weights = np.asarray(weights, dtype=np.float64)
+        return d

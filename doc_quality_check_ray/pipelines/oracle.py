@@ -115,6 +115,35 @@ def sql_role_distribution(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     return TRANSCRIPTS_CTE + "SELECT role, count(*) AS n FROM transcripts GROUP BY role"
 
 
+def sql_role_drift(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    return (
+        TRANSCRIPTS_CTE
+        + """,
+_h AS (
+  SELECT CAST(substring(conv_id, 2) AS BIGINT) % 2 AS half,
+         coalesce(role, '<null>') AS r, count(*) AS n
+  FROM transcripts GROUP BY 1, 2
+),
+_tot AS (
+  SELECT sum(CASE WHEN half = 0 THEN n END) AS tp,
+         sum(CASE WHEN half = 1 THEN n END) AS tq FROM _h
+),
+_dom AS (SELECT DISTINCT r FROM _h),
+_j AS (
+  SELECT greatest(coalesce(p.n, 0) / t.tp, 1e-6) AS pf,
+         greatest(coalesce(q.n, 0) / t.tq, 1e-6) AS qf
+  FROM _dom d CROSS JOIN _tot t
+  LEFT JOIN _h p ON p.r = d.r AND p.half = 0
+  LEFT JOIN _h q ON q.r = d.r AND q.half = 1
+)
+SELECT round(sum((pf - qf) * ln(pf / qf)), 6) AS psi_role,
+       (SELECT CAST(tp AS BIGINT) FROM _tot) AS n_even,
+       (SELECT CAST(tq AS BIGINT) FROM _tot) AS n_odd
+FROM _j
+"""
+    )
+
+
 def _sql_all_violations_body(cfg: ValidationConfig) -> str:
     """The three violation sources as one UNION (shared by partition rollup)."""
     ratio = sql_valid_char_ratio_expr("text")

@@ -74,6 +74,80 @@ def q_role_distribution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     return partials.groupby("role").aggregate(Sum("n", alias_name="n"))
 
 
+def q_role_drift(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """PSI of the role distribution between the even- and odd-numbered
+    conversation halves (reference window vs current window).
+
+    eps-smoothed over the union role domain; rounded to 6 decimals so the
+    SQL oracle's float summation order cannot flip the hash.
+    """
+    from ..functions.sketches import psi
+
+    ds = derive_transcripts(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pid = partition_id_col(t["conv_id"], 2)
+        half = pa.table(
+            {"half": pid, "r": pc.fill_null(t["role"], "<null>")}
+        )
+        g = half.group_by(["half", "r"]).aggregate([([], "count_all")])
+        return g.rename_columns(["half", "r", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .groupby(["half", "r"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    domain = sorted(counts["r"].unique())
+    even = counts[counts["half"] == 0].set_index("r")["n"]
+    odd = counts[counts["half"] == 1].set_index("r")["n"]
+    p = [int(even.get(r, 0)) for r in domain]
+    q = [int(odd.get(r, 0)) for r in domain]
+    return pa.table(
+        {
+            "psi_role": pa.array([round(psi(p, q), 6)], pa.float64()),
+            "n_even": pa.array([int(sum(p))], pa.int64()),
+            "n_odd": pa.array([int(sum(q))], pa.int64()),
+        }
+    )
+
+
+def q_text_len_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Approximate text-length quantiles from the merged t-digest — the
+    distributed analog of the reference's sorted-percentile table
+    (``tests/analyze_thresholds.py:107-113``). No SQL oracle (sketch)."""
+    from ..stages.drift import build_snapshot
+
+    snap = build_snapshot(derive_transcripts(sf_dir), cfg)
+    td = snap.tdigest()
+    qs = (0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+    return pa.table(
+        {
+            "quantile": pa.array(list(qs), pa.float64()),
+            "text_len": pa.array([td.quantile(x) for x in qs], pa.float64()),
+        }
+    )
+
+
+def q_drift_report(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Corpus drift vs a snapshot of the same corpus' even-conversation half
+    (self-drift should be small; the actor-pool scan path is exercised in
+    tests). No SQL oracle (sketch-based)."""
+    from ..stages.drift import build_snapshot, drift_report
+
+    ds = derive_transcripts(sf_dir)
+
+    def even_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(partition_id_col(t["conv_id"], 2), 0))
+
+    snap = build_snapshot(
+        ds.map_batches(even_half, batch_format="pyarrow", batch_size=cfg.batch_size),
+        cfg,
+    )
+    return drift_report(ds, snap, cfg)
+
+
 def all_violations(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
