@@ -1,0 +1,95 @@
+"""End-to-end resumable run: kill after partial completion, resume, outputs
+identical to a single clean run (FIXTURES.md resume test)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from doc_quality_check_ray.config import ValidationConfig
+from doc_quality_check_ray.pipelines.reports import render_html_report, render_txt_report
+from doc_quality_check_ray.pipelines.run import run_validation
+from doc_quality_check_ray.synth import DEFAULT_PLANT, write_transcripts_parquet
+
+CFG = ValidationConfig(batch_size=4096)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    # 4 shards of 50 convs each
+    write_transcripts_parquet(
+        str(d), n_convs=200, turns_per_conv=8, seed=21,
+        plant=DEFAULT_PLANT, convs_per_file=50,
+    )
+    assert len(list(d.glob("*.parquet"))) == 4
+    return str(d)
+
+
+def _fingerprint(out: Path) -> dict:
+    summary = json.loads((out / "run_summary.json").read_text())
+    summary.pop("processed"), summary.pop("skipped")
+    viol = sorted(
+        tuple(r.values())
+        for f in sorted((out / "row_violations").rglob("*.parquet"))
+        for r in pq.read_table(f).to_pylist()
+    )
+    dups = sorted(
+        tuple(r.values())
+        for f in sorted((out / "global" / "duplicate_keys").rglob("*.parquet"))
+        for r in pq.read_table(f).to_pylist()
+    )
+    return {"summary": summary, "viol": viol, "dups": dups}
+
+
+def test_clean_run_and_reports(corpus, tmp_path):
+    out = tmp_path / "out"
+    summary = run_validation(corpus, str(out), CFG)
+    assert summary["partial"] is False
+    assert summary["n_shards"] == 4 and summary["processed"] == 4
+    # each shard chunk plants its own violations (seed offset per part)
+    assert summary["n_rows"] == 200 * 8 + 4 * DEFAULT_PLANT.dup_rows
+    assert summary["n_duplicate_keys"] == 4 * DEFAULT_PLANT.dup_rows
+
+    txt = render_txt_report(str(out))
+    assert "PER-PARTITION VERDICTS" in txt and "FAIL" in txt
+    html = render_html_report(str(out))
+    assert "<title>" in html
+    assert (out / "report.txt").exists() and (out / "report.html").exists()
+
+
+def test_kill_resume_identical(corpus, tmp_path):
+    clean_out = tmp_path / "clean"
+    run_validation(corpus, str(clean_out), CFG)
+
+    resumed_out = tmp_path / "resumed"
+    partial = run_validation(corpus, str(resumed_out), CFG, max_shards=2)
+    assert partial["partial"] is True and partial["processed"] == 2
+    assert not (resumed_out / "run_summary.json").exists()
+
+    final = run_validation(corpus, str(resumed_out), CFG)
+    assert final["partial"] is False
+    assert final["skipped"] == 2 and final["processed"] == 2
+
+    assert _fingerprint(clean_out) == _fingerprint(resumed_out)
+
+
+def test_resume_skips_everything_when_complete(corpus, tmp_path):
+    out = tmp_path / "out2"
+    run_validation(corpus, str(out), CFG)
+    again = run_validation(corpus, str(out), CFG)
+    assert again["skipped"] == 4 and again["processed"] == 0
+
+
+def test_drift_gate_against_snapshot(corpus, tmp_path):
+    out = tmp_path / "out3"
+    run_validation(corpus, str(out), CFG)
+    snap = out / "global" / "stats.json"
+
+    # validate the same corpus against its own snapshot → no drift
+    out2 = tmp_path / "out4"
+    s = run_validation(corpus, str(out2), CFG, snapshot_path=str(snap))
+    assert s["drift"]["checked"] is True and s["drift"]["drifted"] is False
