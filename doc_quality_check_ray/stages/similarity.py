@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- :func:`knn_brute_force` — exact top-k cosine per query: the query matrix is
+  broadcast once (``ray.put``), each batch does one float64 matmul against it,
+  per-batch local top-k candidates are emitted, and a driver-side merge keeps
+  the global top-k (candidate volume = batches × queries × k, independent of
+  corpus size).
+- :func:`cosine_near_dup_pairs` — all pairs with cosine ≥ τ via blocked
+  matmul against the (broadcast) corpus matrix. Scale path: LSH bucketing.
+- :func:`lsh_bucket_near_dup` — seeded random-hyperplane LSH variant: only
+  same-bucket pairs are scored, trading recall for a shuffle bounded by
+  bucket sizes (the 100 TB path).
+
+Similarities are computed in float64 from the float32 inputs and rounded to
+5 decimals so the DuckDB oracle (``list_cosine_similarity`` on
+``DOUBLE[]``) hashes identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+ROUND = 5
+
+PAIR_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("cosine", pa.float64())]
+)
+
+
+def _concat(batches, schema: pa.Schema) -> pa.Table:
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return schema.empty_table()
+    return pa.concat_tables([b.select(schema.names) for b in batches])
+
+
+def _matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(arr[0])
+    return flat.reshape(-1, dim)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact top-k cosine neighbors (excluding self) for each query id.
+
+    Output: (query_id, neighbor_id, cosine) ordered by (query_id,
+    cosine desc, neighbor_id) — ties after rounding broken by id so the
+    result is fully deterministic.
+    """
+    qset = set(int(q) for q in query_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(sorted(qset))))
+
+    qt = pa.concat_tables(
+        list(
+            ds.map_batches(grab, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ),
+        promote_options="default",
+    )
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
+    Q = _unit(_matrix(qt, vec_col))
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q_ids_, Q_ = ray.get(q_ref)
+        M = _unit(_matrix(t, vec_col))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sims = M @ Q_.T  # (batch, nq)
+        kk = min(k + 1, len(ids))  # +1: self may be in this batch
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(q_ids_)):
+            sel = top[:, j]
+            out_q.append(np.full(len(sel), q_ids_[j], dtype=np.int64))
+            out_n.append(ids[sel])
+            out_s.append(sims[sel, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand["cosine"] = cand["cosine"].round(ROUND)
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cosine_near_dup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """All (a_id < b_id) with cosine ≥ threshold — blocked exact matmul.
+
+    The corpus matrix is broadcast once; each batch scores itself against the
+    full corpus and keeps only a<b. Quadratic in corpus size — the exact
+    baseline; use :func:`lsh_bucket_near_dup` beyond ~10^6 vectors.
+    """
+    full = pa.concat_tables(
+        list(ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    )
+    all_ids = full[id_col].to_numpy(zero_copy_only=False)
+    A = _unit(_matrix(full, vec_col))
+    ref = ray.put((all_ids, A))
+
+    def block(t: pa.Table) -> pa.Table:
+        ids_all, A_ = ray.get(ref)
+        M = _unit(_matrix(t, vec_col))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sims = M @ A_.T
+        keep = (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "a_id": pa.array(ids[r], pa.int64()),
+                "b_id": pa.array(ids_all[c], pa.int64()),
+                "cosine": pa.array(np.round(sims[r, c], ROUND), pa.float64()),
+            }
+        )
+
+    return _concat(
+        list(
+            ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ),
+        PAIR_SCHEMA,
+    )
+
+
+def lsh_bucket_near_dup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    n_planes: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate near-dup pairs: random-hyperplane signature → bucket
+    groupby → exact cosine within buckets. Recall < 1 by design; the shuffle
+    moves (bucket, id, vector) rows instead of a quadratic candidate set."""
+    import pandas as pd
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        # planes are re-derived from the seed per batch (cheap: n_planes × dim)
+        # so no state needs to ship; identical across batches by construction.
+        M = _unit(_matrix(t, vec_col))
+        planes = np.random.default_rng(seed).standard_normal((n_planes, M.shape[1]))
+        bits = (M @ planes.T) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        bucket = bits @ weights
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        M = _unit(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        sims = M @ M.T
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"a_id": ids[r], "b_id": ids[c], "cosine": np.round(sims[r, c], ROUND)}
+        )
+
+    df = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(df) == 0:  # all buckets empty → columns may be absent entirely
+        return PAIR_SCHEMA.empty_table()
+    df = (
+        df.drop_duplicates(["a_id", "b_id"])
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False).cast(PAIR_SCHEMA)

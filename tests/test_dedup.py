@@ -1,0 +1,86 @@
+"""Dedup operators on corpora with planted exact and near duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from doc_quality_check_ray.stages.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away into "
+    "the deep green forest while birds sing old songs about long summer days"
+)
+
+
+def _corpus():
+    """60 distinct docs + planted dups: 10↔110 exact, 11↔111 near (one word)."""
+    rng = np.random.default_rng(9)
+    words = BASE.split()
+    docs = {}
+    for i in range(60):
+        docs[i] = " ".join(rng.permutation(words).tolist())
+    # dup ids chosen ≡ their originals mod 3 so they share a source group
+    docs[109] = docs[10]  # exact dup (10 ≡ 109 ≡ 1 mod 3)
+    near = docs[11].split()
+    near[5] = "changed"
+    docs[110] = " ".join(near)  # near dup (11 ≡ 110 ≡ 2 mod 3)
+    ids = sorted(docs)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([docs[i] for i in ids], pa.string()),
+            "source": pa.array(["src" + str(i % 3) for i in ids], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(4)
+
+
+def test_exact_dedup_groups_and_keep_first():
+    ds = _corpus()
+    g = exact_dedup_groups(ds).to_pandas()
+    assert len(g) == 61  # 62 rows, one exact dup pair
+    dup = g[g.n_copies > 1]
+    assert len(dup) == 1 and dup.iloc[0].keep_id == 10 and dup.iloc[0].n_copies == 2
+
+    kept = exact_dedup_keep_first(ds).to_pandas()
+    assert len(kept) == 61
+    assert 109 not in set(kept.doc_id) and 10 in set(kept.doc_id)
+
+
+def test_minhash_lsh_finds_planted_pairs():
+    pairs = minhash_lsh_pairs(_corpus(), threshold=0.6).to_pandas()
+    found = set(zip(pairs.a_id, pairs.b_id))
+    assert (10, 109) in found
+    assert (11, 110) in found
+    exact = pairs[(pairs.a_id == 10) & (pairs.b_id == 109)]
+    assert exact.jaccard.iloc[0] == 1.0
+    near = pairs[(pairs.a_id == 11) & (pairs.b_id == 110)]
+    assert 0.6 <= near.jaccard.iloc[0] < 1.0
+    # permuted same-word docs share the full vocabulary but few shingles:
+    # no false positives at this threshold beyond the planted pairs
+    assert len(pairs) <= 4
+
+
+def test_simhash_finds_exact_dup():
+    pairs = simhash_pairs(_corpus(), max_hamming=3).to_pandas()
+    found = set(zip(pairs.a_id, pairs.b_id))
+    assert (10, 109) in found
+    d = pairs[(pairs.a_id == 10) & (pairs.b_id == 109)].hamming.iloc[0]
+    assert d == 0
+
+
+def test_ngram_jaccard_within_groups():
+    # planted pairs share doc_id % 3 → same source group
+    pairs = ngram_jaccard_pairs(_corpus(), threshold=0.5).to_pandas()
+    found = set(zip(pairs.a_id, pairs.b_id))
+    assert (11, 110) in found or (10, 109) in found
+    for _, r in pairs.iterrows():
+        assert r.a_id % 3 == r.b_id % 3  # partitioning assumption holds

@@ -1,0 +1,64 @@
+"""Similarity search: brute-force exactness vs numpy oracle, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from doc_quality_check_ray.stages.similarity import (
+    cosine_near_dup_pairs,
+    knn_brute_force,
+    lsh_bucket_near_dup,
+)
+
+
+def _embs(n=300, dim=32, seed=6):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near-identical pairs
+    m[100] = m[5] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    m[200] = m[7]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(4), m
+
+
+def test_knn_matches_numpy_oracle():
+    ds, m = _embs()
+    got = knn_brute_force(ds, query_ids=[0, 5, 7], k=5).to_pandas()
+    md = m.astype(np.float64)
+    md = md / np.linalg.norm(md, axis=1, keepdims=True)
+    for q in (0, 5, 7):
+        sims = md @ md[q]
+        sims[q] = -np.inf
+        order = np.lexsort((np.arange(len(sims)), -np.round(sims, 5)))[:5]
+        want = list(order)
+        have = got[got.query_id == q].neighbor_id.tolist()
+        assert have == want, (q, have, want)
+
+
+def test_cosine_near_dup_finds_planted():
+    ds, _ = _embs()
+    pairs = cosine_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    found = set(zip(pairs.a_id, pairs.b_id))
+    assert (5, 100) in found and (7, 200) in found
+    ident = pairs[(pairs.a_id == 7) & (pairs.b_id == 200)]
+    assert ident.cosine.iloc[0] == 1.0
+
+
+def test_lsh_recall_on_planted_pairs():
+    ds, _ = _embs()
+    exact = cosine_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    approx = lsh_bucket_near_dup(ds, threshold=0.95, n_planes=8).to_pandas()
+    exact_pairs = set(zip(exact.a_id, exact.b_id))
+    approx_pairs = set(zip(approx.a_id, approx.b_id))
+    assert approx_pairs <= exact_pairs  # no false positives (same verify)
+    # near-identical vectors almost surely share all hyperplane signs
+    assert (7, 200) in approx_pairs
+    if exact_pairs:
+        assert len(approx_pairs) / len(exact_pairs) >= 0.5
