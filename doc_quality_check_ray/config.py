@@ -67,6 +67,11 @@ class ValidationConfig:
     # Execution ------------------------------------------------------------
     batch_size: int = 65_536
     drift_actor_pool: int = 2
+    #: shards processed per phase-1 execution: one Ray Data execution spans a
+    #: group of input files so the whole cluster parallelizes across them
+    #: (resume granularity stays per-shard; a killed group redoes only its
+    #: own shards).
+    shard_group_size: int = 8
 
     @staticmethod
     def from_json(path: str | Path) -> "ValidationConfig":

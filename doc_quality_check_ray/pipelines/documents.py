@@ -13,9 +13,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..functions import textstats as ts
+from ..stages.exchange import hash_bucket_aggregate
 from ..functions.hashing import md5_fingerprints
 from ..functions.text_norm import normalize_text_arrow
 from ..stages.dedup import (
@@ -144,13 +144,12 @@ def q_top_terms(sf_dir: str, top_k: int = 50):
         )
         return g
 
-    counts = (
-        _docs(sf_dir)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    counts = hash_bucket_aggregate(
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    ).to_pandas()
     counts = counts.sort_values(["n", "token"], ascending=[False, True]).head(top_k)
     return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
 

@@ -20,10 +20,9 @@ def _load(out_dir: str | Path):
     out = Path(out_dir)
     summary = json.loads((out / "run_summary.json").read_text())
     pv = pq.read_table(out / "global" / "partition_verdicts.parquet").to_pandas()
-    viol_dir = out / "row_violations"
     sample = []
-    for f in sorted(viol_dir.rglob("*.parquet")):
-        t = pq.read_table(f)
+    for f in sorted(out.glob("partials/shard=*/kind=v/*.parquet")):
+        t = pq.read_table(f, columns=["conv_id", "turn_idx", "check_id", "detail"])
         sample.extend(t.slice(0, 50 - len(sample)).to_pylist())
         if len(sample) >= 50:
             break

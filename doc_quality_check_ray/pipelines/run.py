@@ -34,9 +34,9 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG, ValidationConfig
+from ..stages.exchange import parquet_hash_exchange
 from ..state.manifest import RunManifest, atomic_output_dir
 from ..state.snapshot import StatsSnapshot
 from ..stages import drift as drift_mod
@@ -54,105 +54,221 @@ def _list_shards(input_path: str) -> list[tuple[str, str]]:
     return [(f"{i:05d}", str(f)) for i, f in enumerate(files)]
 
 
-def _process_shard(
-    shard_id: str, file: str, out: Path, cfg: ValidationConfig
-) -> dict[str, Any]:
-    """Phase 1 for one shard: violations + key partials + sketch, atomically."""
-    t0 = time.perf_counter()
-    ds = ray.data.read_parquet(file)
+#: union schema of the fused phase-1 output, discriminated by ``kind``:
+#: 'v' = violation row, 'k' = distinct-key partial, 's' = per-batch sketch.
+_FUSED_FIELDS = {
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "check_id": pa.string(),
+    "detail": pa.string(),
+    "cnt": pa.int64(),
+    "sketch": pa.string(),
+}
 
-    with atomic_output_dir(out / "row_violations" / f"shard={shard_id}") as vtmp:
-        row_checks_ds = ds.map_batches(
-            lambda t: row_violations_batch(t, cfg),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            zero_copy_batch=True,
-        )
-        row_checks_ds.write_parquet(str(vtmp))
 
-    with atomic_output_dir(out / "key_partials" / f"shard={shard_id}") as ktmp:
-        # distinct keys per block (combiner) — phase 2 merges across shards
-        ds.map_batches(
-            lambda t: t.select(["conv_id", "turn_idx"])
-            .group_by(["conv_id", "turn_idx"])
+def _fused_phase1_batch(t: pa.Table, cfg: ValidationConfig) -> pa.Table:
+    """ONE pass per batch producing all three phase-1 outputs as a tagged
+    union table — the input is read exactly once per shard (the reference
+    similarly computes all per-page metrics in its single extraction pass,
+    ``utils/document_processor.py:151-161``)."""
+    import json
+
+    v = row_violations_batch(t, cfg)
+    k = (
+        t.select(["conv_id", "turn_idx"])
+        .group_by(["conv_id", "turn_idx"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["conv_id", "turn_idx", "cnt"])
+    )
+    # kind='p'/'q': per-partition row / violation counts (partition_id rides
+    # in turn_idx, count in cnt) — phase 2 builds the verdict manifest from
+    # these KB-scale partials with no extra pass over rows or violations
+    def part_counts(conv_id) -> pa.Table:
+        pid = partition_id_col(conv_id, cfg.n_partitions)
+        return (
+            pa.table({"turn_idx": pc.cast(pid, pa.int32())})
+            .group_by("turn_idx")
             .aggregate([([], "count_all")])
-            .rename_columns(["conv_id", "turn_idx", "cnt"]),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            zero_copy_batch=True,
-        ).write_parquet(str(ktmp))
+            .rename_columns(["turn_idx", "cnt"])
+        )
 
-    sketch = drift_mod.build_snapshot(ds, cfg)
-    sdir = out / "sketches"
-    sdir.mkdir(parents=True, exist_ok=True)
-    sketch.save(sdir / f"shard-{shard_id}.json")
+    p = part_counts(t["conv_id"])
+    q = part_counts(v["conv_id"])
+    sketch_json = json.dumps(drift_mod._batch_sketch(t, cfg))
 
-    viol_files = list((out / "row_violations" / f"shard={shard_id}").glob("*.parquet"))
-    n_viol = sum(pq.read_metadata(f).num_rows for f in viol_files)
+    def pad(tbl: pa.Table, kind: str) -> pa.Table:
+        cols = {}
+        for name, typ in _FUSED_FIELDS.items():
+            cols[name] = (
+                tbl[name] if name in tbl.column_names else pa.nulls(tbl.num_rows, typ)
+            )
+        cols["kind"] = pa.array([kind] * tbl.num_rows, pa.string())
+        return pa.table(cols)
+
+    s = pa.table({"sketch": pa.array([sketch_json], pa.string())})
+    return pa.concat_tables(
+        [pad(v, "v"), pad(k, "k"), pad(p, "p"), pad(q, "q"), pad(s, "s")]
+    )
+
+
+def _shard_dirs(out: Path, kind: str) -> list[str]:
+    """All parquet files of one fused-output kind (read_parquet takes files
+    when given a list, not directories)."""
+    return sorted(str(p) for p in out.glob(f"partials/shard=*/kind={kind}/*.parquet"))
+
+
+def _process_group(
+    group_id: str, files: list[str], out: Path, cfg: ValidationConfig
+) -> dict[str, Any]:
+    """Phase 1 for one checkpoint group (a fixed slice of input files) in ONE
+    Ray Data execution.
+
+    A single ``read_parquet`` over the group's files lets the executor split
+    read tasks across all files and row groups — measured ~2× faster than a
+    per-file union and ~4× faster than sequential per-file pipelines, which
+    anti-scale with cluster size. The group is the checkpoint unit: outputs
+    land in a temp dir, are renamed into ``partials/shard=<group_id>``
+    atomically, and the manifest entry is written last.
+    """
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(files).map_batches(
+        lambda t: _fused_phase1_batch(t, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    dst = out / "partials" / f"shard={group_id}"
+    with atomic_output_dir(dst) as tmp:
+        ds.write_parquet(str(tmp), partition_cols=["kind"])
+    n_viol = sum(pq.read_metadata(f).num_rows for f in dst.glob("kind=v/*.parquet"))
+    n_rows = sum(s.n_rows for s in _shard_sketches(dst, cfg))
     return {
-        "shard_id": shard_id,
-        "input_file": file,
-        "n_rows": sketch.n_rows,
+        "shard_id": group_id,
+        "input_files": files,
+        "n_rows": int(n_rows),
         "n_row_violations": int(n_viol),
         "wall_sec": round(time.perf_counter() - t0, 3),
+        "group_size": len(files),
         "engine_version": "0.1.0",
     }
 
 
-def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) -> dict:
-    """Merge partials from all completed shards into global verdicts."""
-    kp = ray.data.read_parquet(str(out / "key_partials"))
-    key_counts = kp.groupby(["conv_id", "turn_idx"]).aggregate(
-        Sum("cnt", alias_name="cnt")
+def _shard_sketches(shard_dir: Path, cfg: ValidationConfig) -> list:
+    """Deserialize the per-batch sketch rows of one shard."""
+    import json
+
+    out = []
+    for f in sorted(shard_dir.glob("kind=s/*.parquet")):
+        for s in pq.read_table(f, columns=["sketch"])["sketch"].to_pylist():
+            out.append(_sketch_from_dict(json.loads(s), cfg))
+    return out
+
+
+def _sketch_from_dict(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
+    roles = dict(zip(d["role_keys"], (int(c) for c in d["role_counts"])))
+    return StatsSnapshot(
+        n_rows=int(d["n_rows"]),
+        role_counts=roles,
+        length_edges=tuple(float(e) for e in cfg.length_hist_buckets),
+        length_hist=[int(x) for x in d["hist"]],
+        tdigest_means=d["td_means"],
+        tdigest_weights=d["td_weights"],
+        ts_min=d["ts_min"],
+        ts_max=d["ts_max"],
     )
 
-    def keep_dups(t: pa.Table) -> pa.Table:
-        hit = t.filter(pc.greater(t["cnt"], 1))
+
+def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) -> dict:
+    """Merge partials from all completed shards into global verdicts.
+
+    Every intermediate that is consumed more than once is spilled to Parquet
+    ONCE and re-read streaming (a lazy Dataset re-executes its whole lineage
+    per consumer — at 10^12 keys neither recomputation nor ``materialize()``
+    in the object store is acceptable; disk-backed reuse is).
+    """
+
+    import pandas as pd
+
+    def bucket_findings(g: pd.DataFrame) -> pa.Table:
+        """Per bucket: merge key counts, emit dup-key and gap-conv findings.
+
+        Returns a typed Arrow table (typed even when empty, so downstream
+        schema inference and size estimation never see object dtypes).
+        """
+        kc = g.groupby(["conv_id", "turn_idx"], sort=False)["cnt"].sum().reset_index()
+        dup = kc[kc["cnt"] > 1]
+        conv = (
+            kc.groupby("conv_id", sort=False)
+            .agg(
+                n=("cnt", "sum"),
+                n_distinct=("cnt", "size"),
+                min_idx=("turn_idx", "min"),
+                max_idx=("turn_idx", "max"),
+            )
+            .reset_index()
+        )
+        bad = conv[
+            ~(
+                (conv["min_idx"] == 0)
+                & (conv["max_idx"] == conv["n_distinct"] - 1)
+                & (conv["n"] == conv["n_distinct"])
+            )
+        ]
+        nd, nb = len(dup), len(bad)
         return pa.table(
             {
-                "conv_id": hit["conv_id"],
-                "turn_idx": pc.cast(hit["turn_idx"], pa.int32()),
-                "n_dups": pc.cast(hit["cnt"], pa.int64()),
+                "conv_id": pa.array(
+                    list(dup["conv_id"]) + list(bad["conv_id"]), pa.string()
+                ),
+                "turn_idx": pa.array(
+                    list(dup["turn_idx"]) + [-1] * nb, pa.int32()
+                ),
+                "n_dups": pa.array(list(dup["cnt"]) + [0] * nb, pa.int64()),
+                "n": pa.array([0] * nd + list(bad["n"]), pa.int64()),
+                "n_distinct": pa.array(
+                    [0] * nd + list(bad["n_distinct"]), pa.int64()
+                ),
+                "min_idx": pa.array([0] * nd + list(bad["min_idx"]), pa.int64()),
+                "max_idx": pa.array([0] * nd + list(bad["max_idx"]), pa.int64()),
+                "finding": pa.array(["dup"] * nd + ["gap"] * nb, pa.string()),
             }
-        )
-
-    def conv_partial(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by("conv_id")
-            .aggregate(
-                [("cnt", "sum"), ([], "count_all"), ("turn_idx", "min"), ("turn_idx", "max")]
-            )
-            .rename_columns(["conv_id", "n", "n_distinct", "min_idx", "max_idx"])
         )
 
     gdir = out / "global"
     with atomic_output_dir(gdir) as gtmp:
-        dups = key_counts.map_batches(keep_dups, batch_format="pyarrow")
-        dups.write_parquet(str(gtmp / "duplicate_keys"))
-
-        conv = (
-            key_counts.map_batches(conv_partial, batch_format="pyarrow")
-            .groupby("conv_id")
-            .aggregate(
-                Sum("n", alias_name="n"),
-                Sum("n_distinct", alias_name="n_distinct"),
-                Min("min_idx", alias_name="min_idx"),
-                Max("max_idx", alias_name="max_idx"),
+        # ONE conv-keyed hash exchange over the checkpointed key partials
+        # produces every key-level finding. Bucketing on conv_id alone puts
+        # each conversation whole into one reduce task, so dup keys and
+        # conversation contiguity fall out of a single local merge.
+        # Assumption: one conversation's distinct keys fit one task (the
+        # per-batch combiners upstream already collapsed raw duplicates); the
+        # order-free mergeable-partials path in stages/keys.py is the
+        # fallback for adversarial mega-conversations.
+        kfiles = _shard_dirs(out, "k")
+        findings = (
+            parquet_hash_exchange(
+                kfiles,
+                ["conv_id"],
+                bucket_findings,
+                num_buckets=64,
+                columns=["conv_id", "turn_idx", "cnt"],
+            )
+            if kfiles
+            else bucket_findings(
+                pd.DataFrame({"conv_id": [], "turn_idx": [], "cnt": []})
             )
         )
-
-        def keep_gaps(t: pa.Table) -> pa.Table:
-            ok = pc.and_(
-                pc.and_(
-                    pc.equal(t["min_idx"], 0),
-                    pc.equal(t["max_idx"], pc.subtract(t["n_distinct"], 1)),
-                ),
-                pc.equal(t["n"], t["n_distinct"]),
-            )
-            return t.filter(pc.invert(ok))
-
-        gaps = conv.map_batches(keep_gaps, batch_format="pyarrow")
-        gaps.write_parquet(str(gtmp / "turn_gaps"))
+        kdir = gtmp / "key_findings"
+        dup_t = findings.filter(pc.equal(findings["finding"], "dup")).select(
+            ["conv_id", "turn_idx", "n_dups"]
+        )
+        gap_t = findings.filter(pc.equal(findings["finding"], "gap")).select(
+            ["conv_id", "n", "n_distinct", "min_idx", "max_idx"]
+        )
+        (kdir / "finding=dup").mkdir(parents=True)
+        (kdir / "finding=gap").mkdir(parents=True)
+        pq.write_table(dup_t, kdir / "finding=dup" / "part-0.parquet")
+        pq.write_table(gap_t, kdir / "finding=gap" / "part-0.parquet")
 
         # merged corpus sketch from per-shard sketches (KB-scale JSON)
         merged = _merge_sketches(out, cfg)
@@ -182,55 +298,49 @@ def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) 
 
         (gtmp / "drift.json").write_text(json.dumps(drift_info))
 
-        # partition verdicts: rows from shard manifests are not keyed by
-        # partition, so recount from key partials (cnt sums = true row counts)
-        def part_rows(t: pa.Table) -> pa.Table:
-            pid = partition_id_col(t["conv_id"], cfg.n_partitions)
+        # verdict manifest from the KB-scale 'p'/'q' partials + the (small)
+        # key findings — pure driver-side pandas, no further cluster passes
+        def _sum_partials(kind: str, alias: str) -> pd.DataFrame:
+            files = _shard_dirs(out, kind)
+            if not files:
+                return pd.DataFrame({"partition_id": [], alias: []}).astype("int64")
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=["turn_idx", "cnt"]) for f in files]
+            )
             return (
-                pa.table({"partition_id": pid, "cnt": t["cnt"]})
-                .group_by("partition_id")
-                .aggregate([("cnt", "sum")])
-                .rename_columns(["partition_id", "n_rows"])
+                t.to_pandas()
+                .rename(columns={"turn_idx": "partition_id", "cnt": alias})
+                .groupby("partition_id", as_index=False)[alias]
+                .sum()
             )
 
-        rows_per = (
-            kp.map_batches(part_rows, batch_format="pyarrow")
-            .groupby("partition_id")
-            .aggregate(Sum("n_rows", alias_name="n_rows"))
-            .to_pandas()
-        )
-
-        viol = ray.data.read_parquet(str(out / "row_violations"))
-
-        def part_viol(t: pa.Table) -> pa.Table:
-            pid = partition_id_col(t["conv_id"], cfg.n_partitions)
-            return (
-                pa.table({"partition_id": pid})
-                .group_by("partition_id")
-                .aggregate([([], "count_all")])
-                .rename_columns(["partition_id", "n_violations"])
-            )
-
-        vp_parts = [
-            viol.map_batches(part_viol, batch_format="pyarrow"),
-            dups.map_batches(part_viol, batch_format="pyarrow"),
-            gaps.map_batches(part_viol, batch_format="pyarrow"),
-        ]
-        viol_per = (
-            vp_parts[0]
-            .union(*vp_parts[1:])
-            .groupby("partition_id")
-            .aggregate(Sum("n_violations", alias_name="n_violations"))
-            .to_pandas()
-        )
+        rows_per = _sum_partials("p", "n_rows")
+        viol_per = _sum_partials("q", "n_violations")
+        for extra in (dup_t, gap_t):
+            if extra.num_rows:
+                pid = partition_id_col(extra["conv_id"], cfg.n_partitions).to_pandas()
+                more = pid.value_counts().rename_axis("partition_id").reset_index(
+                    name="n_violations"
+                )
+                viol_per = (
+                    pd.concat([viol_per, more], ignore_index=True)
+                    .groupby("partition_id", as_index=False)["n_violations"]
+                    .sum()
+                )
         pv = rows_per.merge(viol_per, on="partition_id", how="left")
         pv["n_violations"] = pv["n_violations"].fillna(0).astype("int64")
         pv["passed"] = pv["n_violations"] == 0
         pv = pv.sort_values("partition_id", ignore_index=True)
         pq.write_table(pa.Table.from_pandas(pv, preserve_index=False), gtmp / "partition_verdicts.parquet")
 
-        n_dup = sum(pq.read_metadata(f).num_rows for f in (gtmp / "duplicate_keys").glob("*.parquet"))
-        n_gap = sum(pq.read_metadata(f).num_rows for f in (gtmp / "turn_gaps").glob("*.parquet"))
+        n_dup = sum(
+            pq.read_metadata(f).num_rows
+            for f in (gtmp / "key_findings" / "finding=dup").glob("*.parquet")
+        )
+        n_gap = sum(
+            pq.read_metadata(f).num_rows
+            for f in (gtmp / "key_findings" / "finding=gap").glob("*.parquet")
+        )
         summary = {
             "n_rows": merged.n_rows,
             "n_duplicate_keys": int(n_dup),
@@ -241,17 +351,19 @@ def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) 
     return summary
 
 
-def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
-    import numpy as np
 
+
+def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
     from ..functions.sketches import Histogram, TDigest
 
     roles: dict[str, int] = {}
     hist = Histogram.empty(cfg.length_hist_buckets)
     td = TDigest(cfg.tdigest_compression)
     n, ts_min, ts_max = 0, None, None
-    for f in sorted((out / "sketches").glob("shard-*.json")):
-        s = StatsSnapshot.load(f)
+    sketches = []
+    for d in sorted(out.glob("partials/shard=*")):
+        sketches.extend(_shard_sketches(d, cfg))
+    for s in sketches:
         n += s.n_rows
         for k, c in s.role_counts.items():
             roles[k] = roles.get(k, 0) + c
@@ -280,29 +392,40 @@ def run_validation(
     cfg: ValidationConfig = DEFAULT_CONFIG,
     resume: bool = True,
     snapshot_path: str | None = None,
-    max_shards: int | None = None,
+    max_groups: int | None = None,
 ) -> dict[str, Any]:
     """Execute the full validation run; returns the run summary dict.
 
-    ``resume=True`` skips shards already marked complete. ``max_shards``
-    exists for kill/resume testing (stop after N shards).
+    The checkpoint unit is a *group* of ``cfg.shard_group_size`` consecutive
+    input files (group membership is a pure function of the sorted file list,
+    so resume with the same config always re-derives the same groups).
+    ``resume=True`` skips completed groups. ``max_groups`` exists for
+    kill/resume testing (stop after N groups).
     """
     out = Path(out_dir)
     manifest = RunManifest(out)
     done = manifest.completed_shards() if resume else set()
     shards = _list_shards(input_path)
 
+    g = max(1, cfg.shard_group_size)
+    groups = [
+        (f"{i // g:05d}", [f for _, f in shards[i : i + g]])
+        for i in range(0, len(shards), g)
+    ]
+    pending = [(gid, files) for gid, files in groups if gid not in done]
+    skipped = len(groups) - len(pending)
+    stopped_early = max_groups is not None and len(pending) > max_groups
+    if max_groups is not None:
+        pending = pending[:max_groups]
+
     processed = 0
-    skipped = 0
-    for shard_id, file in shards:
-        if shard_id in done:
-            skipped += 1
-            continue
-        if max_shards is not None and processed >= max_shards:
-            return {"partial": True, "processed": processed, "skipped": skipped}
-        entry = _process_shard(shard_id, file, out, cfg)
-        manifest.mark_complete(shard_id, entry)
+    for gid, files in pending:
+        entry = _process_group(gid, files, out, cfg)
+        manifest.mark_complete(gid, entry)
         processed += 1
+
+    if stopped_early:
+        return {"partial": True, "processed": processed, "skipped": skipped}
 
     summary = _phase2_global(out, cfg, snapshot_path)
     summary.update(
@@ -310,7 +433,8 @@ def run_validation(
             "partial": False,
             "processed": processed,
             "skipped": skipped,
-            "n_shards": len(shards),
+            "n_groups": len(groups),
+            "n_input_files": len(shards),
         }
     )
     manifest.write_run_summary(summary)

@@ -19,9 +19,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG, ValidationConfig
+from ..stages.exchange import hash_bucket_aggregate
 from ..sources.transcripts import derive_transcripts
 from ..stages.keys import (
     duplicate_key_violations,
@@ -71,7 +71,7 @@ def q_role_distribution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         return g
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size)
-    return partials.groupby("role").aggregate(Sum("n", alias_name="n"))
+    return hash_bucket_aggregate(partials, ["role"], {"n": ("n", "sum")}, num_buckets=8)
 
 
 def q_role_drift(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
@@ -93,12 +93,12 @@ def q_role_drift(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Tabl
         g = half.group_by(["half", "r"]).aggregate([([], "count_all")])
         return g.rename_columns(["half", "r", "n"])
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size)
-        .groupby(["half", "r"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    counts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size),
+        ["half", "r"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()
     domain = sorted(counts["r"].unique())
     even = counts[counts["half"] == 0].set_index("r")["n"]
     odd = counts[counts["half"] == 1].set_index("r")["n"]
@@ -193,19 +193,20 @@ def q_partition_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) ->
         )
         return g
 
-    rows_per = (
-        ds.map_batches(rows_partial, batch_format="pyarrow", batch_size=cfg.batch_size)
-        .groupby("partition_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    viol_per = (
-        all_violations(ds, cfg)
-        .map_batches(rows_partial, batch_format="pyarrow", batch_size=cfg.batch_size)
-        .groupby("partition_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    rows_per = hash_bucket_aggregate(
+        ds.map_batches(rows_partial, batch_format="pyarrow", batch_size=cfg.batch_size),
+        ["partition_id"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    viol_per = hash_bucket_aggregate(
+        all_violations(ds, cfg).map_batches(
+            rows_partial, batch_format="pyarrow", batch_size=cfg.batch_size
+        ),
+        ["partition_id"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()
 
     merged = rows_per.rename(columns={"n": "n_rows"}).merge(
         viol_per.rename(columns={"n": "n_violations"}), on="partition_id", how="left"

@@ -29,8 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min, Sum
 
+from .exchange import hash_bucket_aggregate
 from ..functions.hashing import (
     band_hashes,
     hamming_distance,
@@ -67,8 +67,10 @@ def exact_dedup_groups(
         return g.rename_columns(["fingerprint", "keep_id", "n_copies"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("fingerprint").aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("n_copies", alias_name="n_copies")
+    return hash_bucket_aggregate(
+        partials,
+        ["fingerprint"],
+        {"keep_id": ("keep_id", "min"), "n_copies": ("n_copies", "sum")},
     )
 
 
@@ -145,14 +147,35 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cand = (
-        band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .groupby(["a_id", "b_id"])
-        .count()
-        .select_columns(["a_id", "b_id"])
+
+    # single-int bucket exchange over (band_id, band_hash); pair generation
+    # runs per bucket with a local pandas groupby (see stages/exchange.py)
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (t["band_hash"].to_numpy(zero_copy_only=False) % np.uint64(256)).astype(
+            np.int64
+        )
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _bucket_pairs(sub)
+            for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["a_id", "b_id"])
+
+    pairs = (
+        band_rows.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
     )
-    pairs = cand.to_pandas()
+    if len(pairs):
+        pairs = pairs.drop_duplicates(["a_id", "b_id"]).reset_index(drop=True)
     if len(pairs) == 0:
         return pa.table(
             {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
@@ -249,10 +272,26 @@ def simhash_pairs(
             }
         )
 
+    def bucketize(t: pa.Table) -> pa.Table:
+        cid = t["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = t["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array((cid * 65536 + ch) % 256))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _simhash_bucket_pairs(sub)
+            for _, sub in g.groupby(["chunk_id", "chunk"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return _simhash_bucket_pairs(g.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
     cand = (
         sk.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk"])
-        .map_groups(_simhash_bucket_pairs, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
     pairs = cand.to_pandas()
     if len(pairs) == 0:

@@ -33,10 +33,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 from ..config import DEFAULT_CONFIG, ValidationConfig
 from ..schema import VIOLATION_SCHEMA
+from .exchange import hash_bucket_aggregate
 
 CHECK_DUP = "duplicate_key"
 CHECK_GAP = "turn_gap"
@@ -61,8 +61,8 @@ def key_counts(ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG) -> 
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
-    return partials.groupby(["conv_id", "turn_idx"]).aggregate(
-        Sum("cnt", alias_name="cnt")
+    return hash_bucket_aggregate(
+        partials, ["conv_id", "turn_idx"], {"cnt": ("cnt", "sum")}
     )
 
 
@@ -124,11 +124,15 @@ def conversation_stats(
     partials = key_counts(ds, cfg).map_batches(
         partial, batch_format="pyarrow", batch_size=cfg.batch_size
     )
-    return partials.groupby("conv_id").aggregate(
-        Sum("n", alias_name="n"),
-        Sum("n_distinct", alias_name="n_distinct"),
-        Min("min_idx", alias_name="min_idx"),
-        Max("max_idx", alias_name="max_idx"),
+    return hash_bucket_aggregate(
+        partials,
+        ["conv_id"],
+        {
+            "n": ("n", "sum"),
+            "n_distinct": ("n_distinct", "sum"),
+            "min_idx": ("min_idx", "min"),
+            "max_idx": ("max_idx", "max"),
+        },
     )
 
 

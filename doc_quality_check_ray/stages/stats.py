@@ -69,13 +69,17 @@ def n_distinct_conversations(
 
     The per-batch combiner bounds shuffle volume to distinct-per-batch keys.
     """
+    from .exchange import hash_bucket_aggregate
+
     partial = ds.select_columns(["conv_id"]).map_batches(
         lambda t: pa.table({"conv_id": pc.unique(t["conv_id"])}),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
-    return partial.groupby("conv_id").count().count()
+    return hash_bucket_aggregate(
+        partial, ["conv_id"], {"n": ("conv_id", "count")}
+    ).count()
 
 
 def column_stats(

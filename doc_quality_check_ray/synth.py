@@ -206,5 +206,7 @@ def write_transcripts_parquet(
             ),
         )
         tbl = tbl.set_column(0, "conv_id", pa.array(nums.astype(object), pa.string()))
-        pq.write_table(tbl, out / f"part-{part:05d}.parquet", row_group_size=256 * 1024)
+        # modest row groups: Ray parallelizes parquet reads at row-group
+        # granularity, so one giant row group serializes the whole file scan
+        pq.write_table(tbl, out / f"part-{part:05d}.parquet", row_group_size=32 * 1024)
         part += 1

@@ -14,7 +14,7 @@ from doc_quality_check_ray.pipelines.reports import render_html_report, render_t
 from doc_quality_check_ray.pipelines.run import run_validation
 from doc_quality_check_ray.synth import DEFAULT_PLANT, write_transcripts_parquet
 
-CFG = ValidationConfig(batch_size=4096)
+CFG = ValidationConfig(batch_size=4096, shard_group_size=1)  # 1 file per checkpoint
 
 
 @pytest.fixture(scope="module")
@@ -34,13 +34,15 @@ def _fingerprint(out: Path) -> dict:
     summary.pop("processed"), summary.pop("skipped")
     viol = sorted(
         tuple(r.values())
-        for f in sorted((out / "row_violations").rglob("*.parquet"))
-        for r in pq.read_table(f).to_pylist()
+        for f in sorted(out.glob("partials/shard=*/kind=v/*.parquet"))
+        for r in pq.read_table(
+            f, columns=["conv_id", "turn_idx", "check_id", "detail"]
+        ).to_pylist()
     )
     dups = sorted(
         tuple(r.values())
-        for f in sorted((out / "global" / "duplicate_keys").rglob("*.parquet"))
-        for r in pq.read_table(f).to_pylist()
+        for f in sorted((out / "global" / "key_findings" / "finding=dup").rglob("*.parquet"))
+        for r in pq.read_table(f, columns=["conv_id", "turn_idx", "n_dups"]).to_pylist()
     )
     return {"summary": summary, "viol": viol, "dups": dups}
 
@@ -49,7 +51,7 @@ def test_clean_run_and_reports(corpus, tmp_path):
     out = tmp_path / "out"
     summary = run_validation(corpus, str(out), CFG)
     assert summary["partial"] is False
-    assert summary["n_shards"] == 4 and summary["processed"] == 4
+    assert summary["n_groups"] == 4 and summary["processed"] == 4
     # each shard chunk plants its own violations (seed offset per part)
     assert summary["n_rows"] == 200 * 8 + 4 * DEFAULT_PLANT.dup_rows
     assert summary["n_duplicate_keys"] == 4 * DEFAULT_PLANT.dup_rows
@@ -66,7 +68,7 @@ def test_kill_resume_identical(corpus, tmp_path):
     run_validation(corpus, str(clean_out), CFG)
 
     resumed_out = tmp_path / "resumed"
-    partial = run_validation(corpus, str(resumed_out), CFG, max_shards=2)
+    partial = run_validation(corpus, str(resumed_out), CFG, max_groups=2)
     assert partial["partial"] is True and partial["processed"] == 2
     assert not (resumed_out / "run_summary.json").exists()
 
