@@ -72,6 +72,10 @@ class ValidationConfig:
     #: (resume granularity stays per-shard; a killed group redoes only its
     #: own shards).
     shard_group_size: int = 8
+    #: emit per-turn fingerprints of the *normalized* text (kind='f' partials)
+    #: so two runs can verify the north-rule per-turn text-equality invariant
+    #: keyed on (conv_id, turn_idx) without re-reading either corpus.
+    emit_text_fingerprints: bool = True
 
     @staticmethod
     def from_json(path: str | Path) -> "ValidationConfig":

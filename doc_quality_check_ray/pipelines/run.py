@@ -94,6 +94,30 @@ def _fused_phase1_batch(t: pa.Table, cfg: ValidationConfig) -> pa.Table:
 
     p = part_counts(t["conv_id"])
     q = part_counts(v["conv_id"])
+
+    # kind='f': per-turn fingerprint of the NORMALIZED text (the M8
+    # canonicalization), xxhash64 via polars (vectorized) riding in cnt —
+    # the material for the north-rule per-turn text-equality check.
+    tagged = [("p", p), ("q", q)]
+    if cfg.emit_text_fingerprints:
+        import polars as pl
+
+        from ..functions.text_norm import normalize_text_arrow
+
+        norm = normalize_text_arrow(t["text"])
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        fp = (
+            pl.from_arrow(pc.fill_null(norm, "\x00<null>"))
+            .hash(seed=7)
+            .to_numpy()
+            .astype("int64", casting="unsafe", copy=False)
+        )
+        f = pa.table(
+            {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"], "cnt": pa.array(fp)}
+        )
+        tagged.append(("f", f))
+
     sketch_json = json.dumps(drift_mod._batch_sketch(t, cfg))
 
     def pad(tbl: pa.Table, kind: str) -> pa.Table:
@@ -107,7 +131,7 @@ def _fused_phase1_batch(t: pa.Table, cfg: ValidationConfig) -> pa.Table:
 
     s = pa.table({"sketch": pa.array([sketch_json], pa.string())})
     return pa.concat_tables(
-        [pad(v, "v"), pad(k, "k"), pad(p, "p"), pad(q, "q"), pad(s, "s")]
+        [pad(v, "v"), pad(k, "k"), pad(s, "s")] + [pad(tbl, kind) for kind, tbl in tagged]
     )
 
 
@@ -439,3 +463,66 @@ def run_validation(
     )
     manifest.write_run_summary(summary)
     return summary
+
+
+def verify_text_equality(
+    out_a: str, out_b: str, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> dict[str, Any]:
+    """North-rule invariant: per-turn text equality between two completed runs.
+
+    Compares the normalized-text fingerprints (kind='f' partials) of both
+    runs keyed on ``(conv_id, turn_idx)`` — the keyed comparison is the
+    order-free equivalent of comparing under a stable (conv_id, turn_idx)
+    sort, with no re-read of either corpus. Distributed via the same hash
+    exchange as phase 2; the per-bucket reducer emits only differing keys.
+
+    Returns counts plus a deterministic (sorted) sample of mismatches:
+    keys whose fingerprints differ, or that exist in only one run.
+    """
+    import pandas as pd
+
+    fa = _shard_dirs(Path(out_a), "f")
+    fb = _shard_dirs(Path(out_b), "f")
+    if not fa or not fb:
+        raise FileNotFoundError(
+            "missing kind=f fingerprint partials; run with emit_text_fingerprints=True"
+        )
+    if Path(out_a).resolve() == Path(out_b).resolve():
+        return {"equal": True, "n_mismatched_keys": 0, "sample": []}
+    overlap = set(fa) & set(fb)
+    if overlap:
+        raise ValueError(f"runs share fingerprint files: {sorted(overlap)[:3]}")
+    tags = {f: "a" for f in fa} | {f: "b" for f in fb}
+
+    def reduce_fn(df: pd.DataFrame) -> pa.Table:
+        # duplicate keys within a run: combine to a set-fingerprint (sorted
+        # hash tuple) so dup multiplicity differences also surface
+        agg = (
+            df.sort_values("cnt")
+            .groupby(["conv_id", "turn_idx", "src"], sort=False)["cnt"]
+            .apply(tuple)
+            .unstack("src")
+        )
+        for side in ("a", "b"):
+            if side not in agg.columns:
+                agg[side] = None
+        bad_mask = agg["a"].isna() | agg["b"].isna() | (agg["a"] != agg["b"])
+        bad = agg[bad_mask].reset_index()[["conv_id", "turn_idx"]]
+        return pa.table(
+            {
+                "conv_id": pa.array(bad["conv_id"], pa.string()),
+                "turn_idx": pa.array(bad["turn_idx"].astype("int32")),
+            }
+        )
+
+    mism = parquet_hash_exchange(
+        list(tags), ["conv_id"], reduce_fn, num_buckets=64,
+        columns=["conv_id", "turn_idx", "cnt"], file_tags=tags,
+    )
+    n = mism.num_rows if mism.num_rows else 0
+    sample = (
+        sorted(zip(mism["conv_id"].to_pylist(), mism["turn_idx"].to_pylist()))[:20]
+        if n
+        else []
+    )
+    return {"equal": n == 0, "n_mismatched_keys": int(n), "sample": sample}

@@ -105,10 +105,12 @@ def parquet_hash_exchange(
     reduce_fn,
     num_buckets: int = 64,
     columns: Sequence[str] | None = None,
+    file_tags: dict[str, str] | None = None,
 ) -> pa.Table:
     """Hash-exchange rows of ``files`` by ``key_cols``; apply ``reduce_fn``
     (pandas DataFrame -> pyarrow Table) per bucket; return the concatenated
-    (assumed small) result."""
+    (assumed small) result. ``file_tags`` adds a constant ``src`` column per
+    file (e.g. to compare two runs in one exchange)."""
     import ray
 
     files = list(files)
@@ -122,6 +124,10 @@ def parquet_hash_exchange(
         import pyarrow.parquet as pq
 
         t = pq.read_table(file, columns=list(columns) if columns else None)
+        if file_tags is not None:
+            t = t.append_column(
+                "src", pa.array([file_tags[file]] * t.num_rows, pa.string())
+            )
         if t.num_rows == 0:
             empty = t.slice(0, 0)
             return tuple([empty] * num_buckets) if num_buckets > 1 else empty
