@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from doc_quality_check_ray.pipelines import documents as D
+from doc_quality_check_ray.pipelines import events as E
 from doc_quality_check_ray.pipelines import oracle as O
 from doc_quality_check_ray.pipelines import validate as V
 
@@ -51,6 +52,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprints": D.q_fingerprints,
         "t_top_terms": D.q_top_terms,
         "mm_decode": D.q_mm_decode,
+        "d_chunk_documents": D.q_chunk_documents,
+        # transcript-table extras
+        "v_ts_regressions": V.q_ts_regressions,
+        "v_conversation_verdicts": V.q_conversation_verdicts,
+        "v_threshold_sweep": V.q_threshold_sweep,
+        # event-stream operators
+        "e_parse_props": E.q_parse_props,
+        "e_user_sessions": E.q_user_sessions,
     }
 
 
@@ -72,4 +81,10 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprints": O.sql_fingerprints(),
         "t_top_terms": O.sql_top_terms(),
         "mm_decode": O.sql_mm_decode(),
+        "d_chunk_documents": O.sql_chunk_documents(),
+        "v_ts_regressions": O.sql_ts_regressions(),
+        "v_conversation_verdicts": O.sql_conversation_verdicts(),
+        "v_threshold_sweep": O.sql_threshold_sweep(),
+        "e_parse_props": E.SQL_PARSE_PROPS,
+        "e_user_sessions": E.SQL_USER_SESSIONS,
     }

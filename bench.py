@@ -125,9 +125,11 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        corpus = None
+        # scaling runs use a larger corpus (51M rows) so per-row compute
+        # dominates the single-node fixed costs (worker pool, shared disk)
+        scaling_convs = os.environ.get("DQC_BENCH_CONVS", "6400000")
+        env0 = dict(os.environ, DQC_BENCH_CONVS=scaling_convs)
         # generate the corpus once before timing anything
-        env0 = dict(os.environ)
         subprocess.run(
             [sys.executable, "-c",
              "import sys; sys.path.insert(0,'/root/repo');"
@@ -136,7 +138,7 @@ def main() -> None:
         )
 
         def one(ncpu: int) -> dict:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(env0, RAY_GRAFT_CPUS=str(ncpu))
             p = subprocess.run(
                 [sys.executable, "bench.py", "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,

@@ -160,3 +160,39 @@ def q_top_terms(sf_dir: str, top_k: int = 50):
 def q_mm_decode(sf_dir: str):
     """Binary payload → actor-pool decode stub → (doc_id, n_bytes, w, h)."""
     return decode_stage(attach_fake_payloads(_docs(sf_dir)))
+
+
+def q_chunk_documents(sf_dir: str, chunk_tokens: int = 32):
+    """Token-window chunking — the flat-map explode analog (F1/F8,
+    ``modules/document_segmentation.py:514-566``): each document becomes
+    ceil(n_tokens / chunk_tokens) training chunks, ids ``(doc_id, chunk_idx)``
+    (the reference's ``"{page}-{idx+1}"`` sub-ids, ``:558``).
+
+    Token split is vectorized Arrow; chunk assembly joins per chunk (bounded
+    by chunk count, not token count).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids, chunk_idx, chunks = [], [], []
+        doc_ids = t["doc_id"].to_pylist()
+        for i, row in enumerate(toks.to_pylist()):
+            if row == [""] or not row:
+                continue
+            for c in range(0, len(row), chunk_tokens):
+                ids.append(doc_ids[i])
+                chunk_idx.append(c // chunk_tokens)
+                chunks.append(" ".join(row[c : c + chunk_tokens]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, pa.int32()),
+                "chunk": pa.array(chunks, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,101 @@
+"""Event-stream operators over the ``events`` table.
+
+- :func:`q_parse_props` — the key/value parser analog (M11,
+  ``utils/content_extraction.py:150-189``): regex capture over a semi-
+  structured string column, vectorized with ``pc.extract_regex``.
+- :func:`q_user_sessions` — sessionization: the engine's windowed / ordered
+  group operator (ray_guide.md "streaming-shaped workloads"): partition by
+  key, sort by time within partition, break sessions on gaps > 30 min.
+  Partitioning assumption (documented per SURVEY custom-operator rule): one
+  user's events fit one task after per-batch combining.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.exchange import hash_bucket_aggregate
+
+PROPS_K_RE2 = r'"k": (?P<k>\d+)'
+SESSION_GAP_SEC = 1800
+
+
+def q_parse_props(sf_dir: str):
+    """(event_type, n, sum_k): parse ``props`` JSON-ish strings by regex
+    capture and aggregate — all-Arrow, combiner + tiny exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(pc.extract_regex(t["props"], PROPS_K_RE2), "k"),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"event_type": t["event_type"], "k": k})
+            .group_by("event_type")
+            .aggregate([([], "count_all"), ("k", "sum")])
+        )
+        return g.rename_columns(["event_type", "n", "sum_k"])
+
+    return hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": ("n", "sum"), "sum_k": ("sum_k", "sum")},
+        num_buckets=4,
+    )
+
+
+def q_user_sessions(sf_dir: str):
+    """(user_id, n_events, n_sessions): 30-min-gap sessionization per user."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid % 64).astype(np.int64)))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].shift()
+        # exact interval comparison (no truncation) to match the SQL oracle
+        gap = (g["ts"] - prev) > pd.Timedelta(seconds=SESSION_GAP_SEC)
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "brk": gap.fillna(False)})
+            .groupby("user_id", sort=False)
+            .agg(n_events=("brk", "size"), brk=("brk", "sum"))
+            .reset_index()
+        )
+        out["n_sessions"] = (out.pop("brk") + 1).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "n_sessions"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_PARSE_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+SQL_USER_SESSIONS = f"""
+SELECT user_id, count(*) AS n_events,
+       1 + sum(CASE WHEN prev IS NOT NULL
+                     AND ts - prev > INTERVAL {SESSION_GAP_SEC} SECONDS
+                    THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+) GROUP BY user_id
+"""

@@ -276,3 +276,66 @@ SELECT doc_id,
                        400.0 / (strlen(text) * 7 % 480 + 1))) AS BIGINT) AS height
 FROM documents
 """
+
+
+def sql_ts_regressions(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id, count(*) AS n_regressions FROM (
+  SELECT conv_id, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev
+  FROM transcripts
+) WHERE prev IS NOT NULL AND ts < prev
+GROUP BY conv_id
+"""
+    )
+
+
+def sql_conversation_verdicts(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    ratio = sql_valid_char_ratio_expr("text")
+    bad = f"""(
+      text IS NULL OR trim(text) = ''
+      OR role IS NULL OR role NOT IN ({_roles_in(cfg)})
+      OR (coalesce(role,'') = 'tool' AND tool IS NULL)
+      OR (coalesce(role,'') <> 'tool' AND tool IS NOT NULL)
+      OR coalesce({ratio} < {cfg.quality_ratio_threshold}, FALSE)
+    )"""
+    return (
+        TRANSCRIPTS_CTE
+        + f"""
+SELECT conv_id, count(*) AS n_rows,
+       sum(CASE WHEN {bad} THEN 1 ELSE 0 END) AS n_bad_rows,
+       sum(CASE WHEN {bad} THEN 1 ELSE 0 END) = 0 AS passed
+FROM transcripts GROUP BY conv_id
+"""
+    )
+
+
+def sql_threshold_sweep(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    from .validate import SWEEP_THRESHOLDS
+
+    ratio = sql_valid_char_ratio_expr("text")
+    parts = [
+        f"""SELECT CAST({thr} AS DOUBLE) AS threshold,
+       sum(CASE WHEN coalesce({ratio} < {thr}, FALSE) THEN 1 ELSE 0 END) AS n_below,
+       count(*) AS n_rows
+  FROM transcripts"""
+        for thr in SWEEP_THRESHOLDS
+    ]
+    return TRANSCRIPTS_CTE + "\nUNION ALL\n".join(parts)
+
+
+def sql_chunk_documents(chunk_tokens: int = 32) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts), {chunk_tokens})) AS start
+  FROM tok
+)
+SELECT doc_id, CAST((start - 1) / {chunk_tokens} AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(ts, start, start + {chunk_tokens} - 1), ' ') AS chunk
+FROM idx
+"""

@@ -95,3 +95,9 @@ partitions failed: {summary["n_partitions_failed"]}/{len(pv)}</p>
 </body></html>"""
     (Path(out_dir) / "report.html").write_text(html)
     return html
+
+
+def export_content_json(ds, path: str) -> None:
+    """Per-turn content export — the K3 JSON sink analog (``app.py:949-964``):
+    writes the projected content columns as JSON files (distributed)."""
+    ds.select_columns(["conv_id", "turn_idx", "text"]).write_json(path)

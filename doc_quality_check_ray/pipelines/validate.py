@@ -148,6 +148,107 @@ def q_drift_report(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Ta
     return drift_report(ds, snap, cfg)
 
 
+def q_ts_regressions(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-conversation timestamp-monotonicity check: count of turns whose
+    ``ts`` moves backwards in ``turn_idx`` order (the `ts_anomalies` fixture
+    class; planted via the event_id % 113 shift).
+
+    Ordered-within-group logic via the conv-bucket exchange: conversations
+    land whole in a bucket, each bucket sorts and diffs vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column("bucket", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def regress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        prev = g.groupby("conv_id", sort=False)["ts"].shift()
+        bad = (g["ts"] < prev).fillna(False)
+        out = (
+            pd.DataFrame({"conv_id": g["conv_id"], "bad": bad})
+            .groupby("conv_id", sort=False)["bad"]
+            .sum()
+            .reset_index(name="n_regressions")
+        )
+        out = out[out["n_regressions"] > 0]
+        out["n_regressions"] = out["n_regressions"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(regress, batch_format="pandas")
+    )
+
+
+def q_conversation_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-conversation rollup of row verdicts — the grouped-top-1 analog
+    (A3, ``app.py:463-501``): (conv_id, n_rows, n_bad_rows, passed)."""
+    ds = verdicts(derive_transcripts(sf_dir), cfg)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bad = pc.cast(pc.invert(t["valid"]), pa.int64())
+        g = (
+            pa.table({"conv_id": t["conv_id"], "bad": bad})
+            .group_by("conv_id")
+            .aggregate([([], "count_all"), ("bad", "sum")])
+        )
+        return g.rename_columns(["conv_id", "n_rows", "n_bad_rows"])
+
+    rolled = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size),
+        ["conv_id"],
+        {"n_rows": ("n_rows", "sum"), "n_bad_rows": ("n_bad_rows", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column("passed", pc.equal(t["n_bad_rows"], 0))
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+SWEEP_THRESHOLDS = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def q_threshold_sweep(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Pass-rate table across candidate quality thresholds — the threshold
+    sweep analog (A8, ``tests/analyze_thresholds.py:120-142``). One streaming
+    pass computes every threshold's count from the same ratio column."""
+    from ..functions.quality import valid_char_ratio
+
+    ds = derive_transcripts(sf_dir).select_columns(["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ratio = valid_char_ratio(t["text"])
+        counts = [
+            pc.sum(
+                pc.cast(pc.fill_null(pc.less(ratio, thr), False), pa.int64())
+            ).as_py()
+            or 0
+            for thr in SWEEP_THRESHOLDS
+        ]
+        return pa.table(
+            {
+                "threshold": pa.array(SWEEP_THRESHOLDS, pa.float64()),
+                "n_below": pa.array(counts, pa.int64()),
+                "n_rows": pa.array([t.num_rows] * len(SWEEP_THRESHOLDS), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=cfg.batch_size
+    ).to_pandas()
+    out = parts.groupby("threshold", as_index=False)[["n_below", "n_rows"]].sum()
+    return pa.Table.from_pandas(out.sort_values("threshold", ignore_index=True), preserve_index=False)
+
+
 def all_violations(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:

@@ -31,6 +31,7 @@ event_id % 103 == 5    tool := 'search' on a non-tool row  (tool mismatch)
 event_id % 103 == 6    tool := NULL on a tool row          (tool mismatch)
 user_id  % 17  == 3    turn_idx skips value 2     (turn_gap)
 event_id % 211 == 9    row emitted twice          (duplicate_key)
+event_id % 113 == 10   ts shifted back 1 day      (ts_regression)
 =====================  =====================================================
 
 Clean derivation: ``conv_id = printf('c%06d', user_id)``; ``turn_idx`` is the
@@ -81,7 +82,8 @@ WITH _ev AS (
          WHEN ev.event_id % 103 = 6 AND ev.event_type = 'error'  THEN NULL
          WHEN ev.event_type = 'error' THEN 'web_search'
          ELSE NULL END AS tool,
-    ev.ts AS ts,
+    CASE WHEN ev.event_id % 113 = 10 THEN ev.ts - INTERVAL 1 DAY
+         ELSE ev.ts END AS ts,
     ev.event_id AS _event_id
   FROM _ev ev
   JOIN documents d ON d.doc_id = ev.event_id % (SELECT count(*) FROM documents)
@@ -150,6 +152,9 @@ def _derive_group(g: pd.DataFrame, docs_ref) -> pd.DataFrame:
     tool = np.where((eid % 103 == 5) & ~is_tool, "search", tool)
     tool = np.where((eid % 103 == 6) & is_tool, None, tool)
 
+    ts = g["ts"].to_numpy().copy()
+    ts[eid % 113 == 10] -= np.timedelta64(1, "D")
+
     out = pd.DataFrame(
         {
             "conv_id": np.char.add("c", np.char.zfill(uid.astype("U20"), 6)),
@@ -157,7 +162,7 @@ def _derive_group(g: pd.DataFrame, docs_ref) -> pd.DataFrame:
             "role": role,
             "text": text,
             "tool": tool,
-            "ts": g["ts"].to_numpy(),
+            "ts": ts,
         }
     )
     dup = out[eid % 211 == 9]

@@ -106,28 +106,41 @@ def parquet_hash_exchange(
     num_buckets: int = 64,
     columns: Sequence[str] | None = None,
     file_tags: dict[str, str] | None = None,
+    max_map_tasks: int = 64,
 ) -> pa.Table:
     """Hash-exchange rows of ``files`` by ``key_cols``; apply ``reduce_fn``
     (pandas DataFrame -> pyarrow Table) per bucket; return the concatenated
     (assumed small) result. ``file_tags`` adds a constant ``src`` column per
-    file (e.g. to compare two runs in one exchange)."""
+    file (e.g. to compare two runs in one exchange).
+
+    Input files are batched into ≤ ``max_map_tasks`` map tasks: the object
+    count is map_tasks × num_buckets, and thousands of tiny files would
+    otherwise drown the run in object-management overhead (measured 21s for
+    463 small files vs ~2s batched)."""
     import ray
 
     files = list(files)
     if not files:
         return pa.table({})
 
+    per_task = max(1, -(-len(files) // max_map_tasks))
+    file_chunks = [files[i : i + per_task] for i in range(0, len(files), per_task)]
+
     @ray.remote(num_returns=num_buckets)
-    def map_side(file: str):
+    def map_side(chunk: list[str]):
         import numpy as np
         import polars as pl
         import pyarrow.parquet as pq
 
-        t = pq.read_table(file, columns=list(columns) if columns else None)
-        if file_tags is not None:
-            t = t.append_column(
-                "src", pa.array([file_tags[file]] * t.num_rows, pa.string())
-            )
+        tables = []
+        for file in chunk:
+            t1 = pq.read_table(file, columns=list(columns) if columns else None)
+            if file_tags is not None:
+                t1 = t1.append_column(
+                    "src", pa.array([file_tags[file]] * t1.num_rows, pa.string())
+                )
+            tables.append(t1)
+        t = pa.concat_tables(tables)
         if t.num_rows == 0:
             empty = t.slice(0, 0)
             return tuple([empty] * num_buckets) if num_buckets > 1 else empty
@@ -154,11 +167,11 @@ def parquet_hash_exchange(
         df = pa.concat_tables(tables).to_pandas()
         return reduce_fn(df)
 
-    refs = [map_side.remote(f) for f in files]  # refs[file][bucket]
+    refs = [map_side.remote(c) for c in file_chunks]  # refs[chunk][bucket]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     out_refs = [
-        reduce_side.remote(*[refs[i][b] for i in range(len(files))])
+        reduce_side.remote(*[refs[i][b] for i in range(len(file_chunks))])
         for b in range(num_buckets)
     ]
     results = [r for r in ray.get(out_refs) if r is not None]
