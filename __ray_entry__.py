@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_partition_verdicts": V.q_partition_verdicts,
         "v_role_drift": V.q_role_drift,
         "v_text_len_quantiles": V.q_text_len_quantiles,
+        "v_ts_quantiles": V.q_ts_quantiles,
         "v_drift_report": V.q_drift_report,
         # training-data operators over documents / embeddings
         "d_exact_dedup": D.q_exact_dedup,

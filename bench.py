@@ -36,11 +36,14 @@ QUERY_NAMES = [
     "v_partition_verdicts",
     "v_column_stats",
     "v_role_drift",
+    "v_conversation_verdicts",
     "d_exact_dedup",
     "d_minhash_pairs",
     "d_knn",
+    "d_chunk_documents",
     "t_token_stats",
     "t_fingerprints",
+    "e_user_sessions",
     "mm_decode",
 ]
 

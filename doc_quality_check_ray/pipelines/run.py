@@ -70,7 +70,34 @@ def _fused_phase1_batch(t: pa.Table, cfg: ValidationConfig) -> pa.Table:
     """ONE pass per batch producing all three phase-1 outputs as a tagged
     union table — the input is read exactly once per shard (the reference
     similarly computes all per-page metrics in its single extraction pass,
-    ``utils/document_processor.py:151-161``)."""
+    ``utils/document_processor.py:151-161``).
+
+    Exceptions are captured as a synthetic ``batch_error`` violation row
+    instead of failing the task — the M18 row-level error guard
+    (``test_readability.py:186-271`` converts per-file crashes into error
+    rows with ``error=str(e)``); Ray's task retries still cover
+    infrastructure failures.
+    """
+    import json
+
+    try:
+        return _fused_phase1_batch_inner(t, cfg)
+    except Exception as e:  # noqa: BLE001 — deliberate poison-pill capture
+        err = pa.table(
+            {
+                "conv_id": pa.array(["<batch_error>"], pa.string()),
+                "turn_idx": pa.array([-1], pa.int32()),
+                "check_id": pa.array(["batch_error"], pa.string()),
+                "detail": pa.array([f"{type(e).__name__}: {e}"[:500]], pa.string()),
+                "cnt": pa.array([t.num_rows], pa.int64()),
+                "sketch": pa.array([None], pa.string()),
+                "kind": pa.array(["v"], pa.string()),
+            }
+        )
+        return err
+
+
+def _fused_phase1_batch_inner(t: pa.Table, cfg: ValidationConfig) -> pa.Table:
     import json
 
     v = row_violations_batch(t, cfg)
@@ -199,6 +226,8 @@ def _sketch_from_dict(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
         tdigest_weights=d["td_weights"],
         ts_min=d["ts_min"],
         ts_max=d["ts_max"],
+        ts_tdigest_means=d.get("ts_td_means", []),
+        ts_tdigest_weights=d.get("ts_td_weights", []),
     )
 
 
@@ -383,11 +412,13 @@ def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
     roles: dict[str, int] = {}
     hist = Histogram.empty(cfg.length_hist_buckets)
     td = TDigest(cfg.tdigest_compression)
+    ts_td = TDigest(cfg.tdigest_compression)
     n, ts_min, ts_max = 0, None, None
     sketches = []
     for d in sorted(out.glob("partials/shard=*")):
         sketches.extend(_shard_sketches(d, cfg))
     for s in sketches:
+        ts_td = ts_td.merge(s.ts_tdigest())
         n += s.n_rows
         for k, c in s.role_counts.items():
             roles[k] = roles.get(k, 0) + c
@@ -407,6 +438,8 @@ def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
         tdigest_weights=weights,
         ts_min=ts_min,
         ts_max=ts_max,
+        ts_tdigest_means=ts_td.to_arrays()[0],
+        ts_tdigest_weights=ts_td.to_arrays()[1],
     )
 
 

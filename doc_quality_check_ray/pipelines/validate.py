@@ -130,6 +130,22 @@ def q_text_len_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) ->
     )
 
 
+def q_ts_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Approximate timestamp quantiles from the merged epoch-us t-digest —
+    the timestamp-range sketch of the stats snapshot. No SQL oracle."""
+    from ..stages.drift import build_snapshot
+
+    snap = build_snapshot(derive_transcripts(sf_dir), cfg)
+    td = snap.ts_tdigest()
+    qs = (0.10, 0.50, 0.90)
+    return pa.table(
+        {
+            "quantile": pa.array(list(qs), pa.float64()),
+            "ts_epoch_us": pa.array([td.quantile(x) for x in qs], pa.float64()),
+        }
+    )
+
+
 def q_drift_report(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
     """Corpus drift vs a snapshot of the same corpus' even-conversation half
     (self-drift should be small; the actor-pool scan path is exercised in

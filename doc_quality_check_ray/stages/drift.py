@@ -46,6 +46,10 @@ def _batch_sketch(t: pa.Table, cfg: ValidationConfig) -> dict:
     means, weights = td.to_arrays()
     ts_min = pc.min(t["ts"]).as_py()
     ts_max = pc.max(t["ts"]).as_py()
+    # timestamp-range sketch: t-digest over epoch-microseconds
+    ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    ts_td = TDigest(cfg.tdigest_compression).add(ts_us)
+    ts_means, ts_weights = ts_td.to_arrays()
     return {
         "n_rows": t.num_rows,
         "role_keys": rc["role"].to_pylist(),
@@ -53,6 +57,8 @@ def _batch_sketch(t: pa.Table, cfg: ValidationConfig) -> dict:
         "hist": hist.to_list(),
         "td_means": means,
         "td_weights": weights,
+        "ts_td_means": ts_means,
+        "ts_td_weights": ts_weights,
         "ts_min": str(ts_min) if ts_min is not None else None,
         "ts_max": str(ts_max) if ts_max is not None else None,
     }
@@ -78,6 +84,7 @@ def build_snapshot(
     roles: dict[str, int] = {}
     hist = Histogram.empty(cfg.length_hist_buckets)
     td = TDigest(cfg.tdigest_compression)
+    ts_td = TDigest(cfg.tdigest_compression)
     n, ts_min, ts_max = 0, None, None
     for r in rows:
         n += r["n_rows"]
@@ -85,11 +92,15 @@ def build_snapshot(
             roles[k] = roles.get(k, 0) + int(c)
         hist = hist.merge(Histogram(cfg.length_hist_buckets, np.asarray(r["hist"])))
         td = td.merge(TDigest.from_arrays(r["td_means"], r["td_weights"], cfg.tdigest_compression))
+        ts_td = ts_td.merge(
+            TDigest.from_arrays(r["ts_td_means"], r["ts_td_weights"], cfg.tdigest_compression)
+        )
         if r["ts_min"] is not None:
             ts_min = r["ts_min"] if ts_min is None else min(ts_min, r["ts_min"])
         if r["ts_max"] is not None:
             ts_max = r["ts_max"] if ts_max is None else max(ts_max, r["ts_max"])
     means, weights = td.to_arrays()
+    ts_means, ts_weights = ts_td.to_arrays()
     return StatsSnapshot(
         n_rows=int(n),
         role_counts=roles,
@@ -99,6 +110,8 @@ def build_snapshot(
         tdigest_weights=weights,
         ts_min=ts_min,
         ts_max=ts_max,
+        ts_tdigest_means=ts_means,
+        ts_tdigest_weights=ts_weights,
     )
 
 

@@ -28,6 +28,10 @@ class StatsSnapshot:
     tdigest_weights: list[float]
     ts_min: str | None
     ts_max: str | None
+    #: t-digest over epoch-microsecond timestamps (the "timestamp-range
+    #: histogram" sketch) — quantiles of the time distribution.
+    ts_tdigest_means: list[float] = dataclasses.field(default_factory=list)
+    ts_tdigest_weights: list[float] = dataclasses.field(default_factory=list)
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str | Path) -> None:
@@ -48,3 +52,6 @@ class StatsSnapshot:
 
     def tdigest(self) -> TDigest:
         return TDigest.from_arrays(self.tdigest_means, self.tdigest_weights)
+
+    def ts_tdigest(self) -> TDigest:
+        return TDigest.from_arrays(self.ts_tdigest_means, self.ts_tdigest_weights)
