@@ -87,9 +87,14 @@ def run_headline(corpus: Path) -> dict:
     # the measurement is steady-state throughput, not process startup
     import ray.data as _rd
 
-    _rd.read_parquet(str(next(iter(sorted(corpus.glob("*.parquet")))))).map_batches(
+    first = str(next(iter(sorted(corpus.glob("*.parquet")))))
+    _rd.read_parquet(first).limit(65536).map_batches(
         lambda t: t, batch_format="pyarrow"
     ).groupby("conv_id").count().count()
+
+    # flush dirty pages from corpus generation / prior runs so writeback
+    # doesn't bleed into the measured window
+    os.sync()
 
     t0 = time.perf_counter()
     summary = run_validation(str(corpus), str(out), resume=False)

@@ -14,8 +14,14 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Transcript validation run")
-    ap.add_argument("--input", required=True, help="transcript parquet file or dir")
-    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--input", help="transcript parquet file or dir")
+    ap.add_argument("--out", help="output directory")
+    ap.add_argument(
+        "--verify-equality",
+        nargs=2,
+        metavar=("OUT_A", "OUT_B"),
+        help="compare two completed runs' per-turn text fingerprints and exit",
+    )
     ap.add_argument("--config", help="ValidationConfig JSON")
     ap.add_argument("--snapshot", help="reference stats snapshot for drift")
     ap.add_argument("--no-resume", action="store_true")
@@ -36,9 +42,15 @@ def main(argv: list[str] | None = None) -> int:
     try:
         from .config import DEFAULT_CONFIG, ValidationConfig
         from .pipelines.reports import render_html_report, render_txt_report
-        from .pipelines.run import run_validation
+        from .pipelines.run import run_validation, verify_text_equality
 
         cfg = ValidationConfig.from_json(args.config) if args.config else DEFAULT_CONFIG
+        if args.verify_equality:
+            res = verify_text_equality(*args.verify_equality, cfg)
+            print(json.dumps(res, default=str))
+            return 0 if res["equal"] else 3
+        if not args.input or not args.out:
+            ap.error("--input and --out are required (unless --verify-equality)")
         summary = run_validation(
             args.input,
             args.out,

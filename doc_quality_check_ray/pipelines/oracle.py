@@ -339,3 +339,17 @@ SELECT doc_id, CAST((start - 1) / {chunk_tokens} AS INTEGER) AS chunk_idx,
        array_to_string(list_slice(ts, start, start + {chunk_tokens} - 1), ' ') AS chunk
 FROM idx
 """
+
+
+def sql_role_sequences(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id, count(*) AS n_repeats FROM (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev
+  FROM transcripts
+) WHERE prev IS NOT NULL AND role = prev
+GROUP BY conv_id
+"""
+    )

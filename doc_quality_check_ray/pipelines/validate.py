@@ -204,6 +204,43 @@ def q_ts_regressions(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     )
 
 
+def q_role_sequences(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-conversation role-sequencing stats — the A4 pairwise-group-repair
+    analog (``identity_detection.py:189-259``): count of consecutive
+    same-role turn pairs (e.g. user→user) in ``turn_idx`` order.
+    (conv_id, n_repeats) for conversations with at least one repeat."""
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "role", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column("bucket", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def repeats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        prev = g.groupby("conv_id", sort=False)["role"].shift()
+        rep = (g["role"] == prev).fillna(False)
+        out = (
+            pd.DataFrame({"conv_id": g["conv_id"], "rep": rep})
+            .groupby("conv_id", sort=False)["rep"]
+            .sum()
+            .reset_index(name="n_repeats")
+        )
+        out = out[out["n_repeats"] > 0]
+        out["n_repeats"] = out["n_repeats"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(repeats, batch_format="pandas")
+    )
+
+
 def q_conversation_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     """Per-conversation rollup of row verdicts — the grouped-top-1 analog
     (A3, ``app.py:463-501``): (conv_id, n_rows, n_bad_rows, passed)."""
