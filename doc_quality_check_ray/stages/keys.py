@@ -136,6 +136,63 @@ def conversation_stats(
     )
 
 
+def conversation_stats_salted(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Explicit skew-salted variant of :func:`conversation_stats`.
+
+    Two-level tree merge: partials are first combined per
+    ``(conv_id, salt = turn_idx % cfg.skew_salt)`` — so a hot conversation's
+    partial rows are reduced by ``skew_salt`` independent reducers — then the
+    ≤ ``skew_salt`` pre-merged rows per conversation collapse in a second,
+    tiny exchange. Output is identical to :func:`conversation_stats`
+    (equivalence-tested on the big-skew fixture); use this path when single
+    conversations are large enough that their per-batch partials would
+    overwhelm one reducer (cfg.hot_conv_turns guidance).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        salt = pc.subtract(
+            t["turn_idx"],
+            pc.multiply(
+                pc.divide(t["turn_idx"], cfg.skew_salt), cfg.skew_salt
+            ),
+        )
+        g = (
+            t.append_column("salt", pc.cast(salt, pa.int32()))
+            .group_by(["conv_id", "salt"])
+            .aggregate(
+                [("cnt", "sum"), ([], "count_all"), ("turn_idx", "min"), ("turn_idx", "max")]
+            )
+            .rename_columns(["conv_id", "salt", "n", "n_distinct", "min_idx", "max_idx"])
+        )
+        return g
+
+    partials = key_counts(ds, cfg).map_batches(
+        partial, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    level1 = hash_bucket_aggregate(
+        partials,
+        ["conv_id", "salt"],
+        {
+            "n": ("n", "sum"),
+            "n_distinct": ("n_distinct", "sum"),
+            "min_idx": ("min_idx", "min"),
+            "max_idx": ("max_idx", "max"),
+        },
+    )
+    return hash_bucket_aggregate(
+        level1,
+        ["conv_id"],
+        {
+            "n": ("n", "sum"),
+            "n_distinct": ("n_distinct", "sum"),
+            "min_idx": ("min_idx", "min"),
+            "max_idx": ("max_idx", "max"),
+        },
+    )
+
+
 def turn_gaps(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:

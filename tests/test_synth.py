@@ -64,6 +64,33 @@ def test_big_skew_salting_equivalence():
         assert hot.n.iloc[0] >= 50_000
 
 
+def test_salted_conversation_stats_equivalent():
+    """Salting on vs off must produce identical per-conversation stats,
+    including for the hot conversation (SURVEY.md §7.4 skew equivalence)."""
+    from doc_quality_check_ray.stages.keys import (
+        conversation_stats,
+        conversation_stats_salted,
+    )
+
+    plant = PlantSpec(dup_rows=6, gap_convs=3, hot_conv_turns=30_000)
+    table, _ = synth_transcripts(n_convs=150, plant=plant, seed=23)
+    ds = ray.data.from_arrow(table).random_shuffle(seed=1).repartition(16)
+    plain = conversation_stats(ds).to_pandas().sort_values("conv_id", ignore_index=True)
+    salted = (
+        conversation_stats_salted(ds).to_pandas().sort_values("conv_id", ignore_index=True)
+    )
+    cols = ["conv_id", "n", "n_distinct", "min_idx", "max_idx"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        plain[cols].astype({"n": "int64", "n_distinct": "int64"}),
+        salted[cols].astype({"n": "int64", "n_distinct": "int64"}),
+        check_dtype=False,
+    )
+    hot = plain[plain.conv_id == "s00000150"]
+    assert len(hot) == 1 and hot.n.iloc[0] >= 30_000
+
+
 def test_determinism():
     t1, e1 = synth_transcripts(n_convs=30, plant=DEFAULT_PLANT, seed=5)
     t2, e2 = synth_transcripts(n_convs=30, plant=DEFAULT_PLANT, seed=5)
