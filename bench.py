@@ -128,14 +128,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=32)
+    # N vs 4N parallelism. Default pair 2→8: on ONE sandbox node the shared
+    # disk + memory bus stop scaling past ~8-16 cores (a real 4x cluster
+    # multiplies those); 8→32 numbers are also recorded in BASELINE.md.
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
     args = ap.parse_args()
 
     if args.scaling:
         # scaling runs use a larger corpus (51M rows) so per-row compute
         # dominates the single-node fixed costs (worker pool, shared disk)
-        scaling_convs = os.environ.get("DQC_BENCH_CONVS", "6400000")
+        scaling_convs = os.environ.get("DQC_BENCH_SCALING_CONVS", "6400000")
         env0 = dict(os.environ, DQC_BENCH_CONVS=scaling_convs)
         # generate the corpus once before timing anything
         subprocess.run(
