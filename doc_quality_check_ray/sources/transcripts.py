@@ -120,17 +120,22 @@ def _doc_texts(sf_dir: str) -> np.ndarray:
 
 
 def _derive_group(g: pd.DataFrame, docs_ref) -> pd.DataFrame:
-    """Per-conversation derivation: runs inside ``groupby(user_id).map_groups``.
+    """Bucket-level derivation: runs inside ``groupby(bucket).map_groups``
+    where a bucket holds MANY whole conversations (vectorized across all of
+    them — per-conversation rank via ``groupby.cumcount`` on the sorted
+    frame, not per-group Python calls).
 
     The documents small side is broadcast once via ``ray.put``; ``ray.get`` on
     a worker resolves it zero-copy from the local object store — never
     re-shipped per batch (SURVEY.md §2.6 A2 broadcast pattern).
     """
     docs: np.ndarray = ray.get(docs_ref) if hasattr(docs_ref, "hex") else docs_ref
-    g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
     eid = g["event_id"].to_numpy()
     uid = g["user_id"].to_numpy()
-    rn = np.arange(len(g), dtype=np.int64)
+    rn = g.groupby("user_id", sort=False).cumcount().to_numpy()
 
     turn_idx = np.where((uid % 17 == 3) & (rn >= 2), rn + 1, rn).astype(np.int32)
 
@@ -171,22 +176,67 @@ def _derive_group(g: pd.DataFrame, docs_ref) -> pd.DataFrame:
     return out
 
 
-def derive_transcripts(sf_dir: str) -> ray.data.Dataset:
+def derive_transcripts(sf_dir: str, use_cache: bool = True) -> ray.data.Dataset:
     """Derive the planted-violation transcripts table from ``sf_dir`` testdata.
 
     Matches :data:`TRANSCRIPTS_CTE` row-for-row. The per-user rank forces one
-    grouped shuffle; at production scale transcripts are a direct Parquet read
+    grouped exchange (conversations bucketed whole by ``user_id % 64``); at
+    production scale transcripts are a direct Parquet read
     (:func:`read_transcripts`) and this stage does not exist.
+
+    Because the derivation is a pure function of the immutable ``sf_dir``
+    tables, the result is spilled once per scale factor to a parquet cache
+    under /tmp (atomic rename; marker-guarded) and re-read by every
+    subsequent query — one exchange per process instead of one per query.
     """
+    if use_cache:
+        return ray.data.read_parquet(_ensure_derived_cache(sf_dir))
+    return _derive_pipeline(sf_dir)
+
+
+def _derive_pipeline(sf_dir: str) -> ray.data.Dataset:
     docs_ref = ray.put(_doc_texts(sf_dir))
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
-    out = ds.groupby("user_id").map_groups(
-        lambda g: _derive_group(g, docs_ref), batch_format="pandas"
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid % 64).astype(np.int64)))
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(lambda g: _derive_group(g, docs_ref), batch_format="pandas")
     )
     return _cast_schema(out)
+
+
+def _ensure_derived_cache(sf_dir: str) -> str:
+    import hashlib
+    from pathlib import Path
+
+    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    base = Path("/tmp/dqc_derived_cache") / key
+    marker = base / "_complete"
+    if marker.exists():
+        return str(base)
+    import os
+    import shutil
+
+    tmp = base.parent / f".tmp-{key}-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.parent.mkdir(parents=True, exist_ok=True)
+    _derive_pipeline(sf_dir).write_parquet(str(tmp))
+    (tmp / "_complete").write_text("ok")
+    if marker.exists():  # lost a race: another process finished first
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        if base.exists():
+            shutil.rmtree(base)
+        os.replace(tmp, base)
+    return str(base)
 
 
 def _cast_schema(ds: ray.data.Dataset) -> ray.data.Dataset:
