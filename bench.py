@@ -27,8 +27,9 @@ from pathlib import Path
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# headline corpus size (rows ≈ convs × 8 + plants)
-BENCH_CONVS = int(os.environ.get("DQC_BENCH_CONVS", "400000"))
+# headline corpus size (rows ≈ convs × 8 + plants): 12.8M rows — big enough
+# that compute dominates fixed costs, small enough to keep the bench fast
+BENCH_CONVS = int(os.environ.get("DQC_BENCH_CONVS", "1600000"))
 BENCH_DIR = Path(os.environ.get("DQC_BENCH_DIR", "/tmp/dqc_bench"))
 
 QUERY_NAMES = [

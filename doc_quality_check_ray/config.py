@@ -55,6 +55,15 @@ class ValidationConfig:
     #: two-stage aggregation path.
     hot_conv_turns: int = 100_000
 
+    # Column-stats gates ---------------------------------------------------
+    #: corpus-level pass/fail bounds on column statistics (None = ungated);
+    #: the distributed analog of the reference's threshold gates applied to
+    #: aggregate stats rather than single pages.
+    max_null_text_rate: float | None = 0.05
+    max_null_role_rate: float | None = 0.01
+    max_null_ts_rate: float | None = 0.0
+    max_text_len: int | None = 1_000_000  # guard against pathological rows
+
     # Stats / drift --------------------------------------------------------
     #: number of buckets for text-length histograms used by the drift check.
     length_hist_buckets: tuple[int, ...] = (0, 16, 64, 128, 256, 512, 1024, 4096)

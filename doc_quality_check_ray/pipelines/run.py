@@ -228,6 +228,7 @@ def _sketch_from_dict(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
         ts_max=d["ts_max"],
         ts_tdigest_means=d.get("ts_td_means", []),
         ts_tdigest_weights=d.get("ts_td_weights", []),
+        max_text_len=d.get("max_len"),
     )
 
 
@@ -327,6 +328,9 @@ def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) 
         merged = _merge_sketches(out, cfg)
         merged.save(gtmp / "stats.json")
 
+        # column-stats gates: corpus-level pass/fail on aggregate stats
+        stats_gate = _column_stats_gate(merged, cfg)
+
         drift_info: dict[str, Any] = {"checked": False}
         if snapshot_path:
             ref = StatsSnapshot.load(snapshot_path)
@@ -399,11 +403,36 @@ def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) 
             "n_duplicate_keys": int(n_dup),
             "n_gap_conversations": int(n_gap),
             "n_partitions_failed": int((~pv["passed"]).sum()),
+            "column_stats_gate": stats_gate,
             "drift": drift_info,
         }
     return summary
 
 
+
+
+def _column_stats_gate(snap: StatsSnapshot, cfg: ValidationConfig) -> dict:
+    """Corpus-level pass/fail on aggregate column stats (configurable bounds).
+
+    Exact counts derived from the merged sketches: the length histogram and
+    ts digest are exhaustive over non-null values, so null counts are totals
+    minus their mass; max length merges exactly.
+    """
+    n = max(snap.n_rows, 1)
+    checks: dict[str, dict] = {}
+
+    def gate(name: str, value, bound, cmp="le"):
+        if bound is None:
+            return
+        ok = value <= bound if cmp == "le" else value >= bound
+        checks[name] = {"value": value, "bound": bound, "ok": bool(ok)}
+
+    gate("null_text_rate", snap.null_text_count() / n, cfg.max_null_text_rate)
+    gate("null_role_rate", snap.null_role_count() / n, cfg.max_null_role_rate)
+    gate("null_ts_rate", snap.null_ts_count() / n, cfg.max_null_ts_rate)
+    if snap.max_text_len is not None:
+        gate("max_text_len", snap.max_text_len, cfg.max_text_len)
+    return {"passed": all(c["ok"] for c in checks.values()), "checks": checks}
 
 
 def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
@@ -414,11 +443,14 @@ def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
     td = TDigest(cfg.tdigest_compression)
     ts_td = TDigest(cfg.tdigest_compression)
     n, ts_min, ts_max = 0, None, None
+    max_len = None
     sketches = []
     for d in sorted(out.glob("partials/shard=*")):
         sketches.extend(_shard_sketches(d, cfg))
     for s in sketches:
         ts_td = ts_td.merge(s.ts_tdigest())
+        if s.max_text_len is not None:
+            max_len = s.max_text_len if max_len is None else max(max_len, s.max_text_len)
         n += s.n_rows
         for k, c in s.role_counts.items():
             roles[k] = roles.get(k, 0) + c
@@ -440,6 +472,7 @@ def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
         ts_max=ts_max,
         ts_tdigest_means=ts_td.to_arrays()[0],
         ts_tdigest_weights=ts_td.to_arrays()[1],
+        max_text_len=max_len,
     )
 
 
@@ -463,6 +496,11 @@ def run_validation(
     manifest = RunManifest(out)
     done = manifest.completed_shards() if resume else set()
     shards = _list_shards(input_path)
+
+    # phase 0: metadata-only schema conformance over every input file
+    from ..stages.schema_check import check_parquet_schema
+
+    schema_report = check_parquet_schema([f for _, f in shards])
 
     g = max(1, cfg.shard_group_size)
     groups = [
@@ -492,6 +530,7 @@ def run_validation(
             "skipped": skipped,
             "n_groups": len(groups),
             "n_input_files": len(shards),
+            "schema": schema_report,
         }
     )
     manifest.write_run_summary(summary)

@@ -54,6 +54,7 @@ def _batch_sketch(t: pa.Table, cfg: ValidationConfig) -> dict:
         "n_rows": t.num_rows,
         "role_keys": rc["role"].to_pylist(),
         "role_counts": rc["count_all"].to_pylist(),
+        "max_len": int(lens.max()) if len(lens) else None,
         "hist": hist.to_list(),
         "td_means": means,
         "td_weights": weights,
@@ -86,8 +87,11 @@ def build_snapshot(
     td = TDigest(cfg.tdigest_compression)
     ts_td = TDigest(cfg.tdigest_compression)
     n, ts_min, ts_max = 0, None, None
+    max_len = None
     for r in rows:
         n += r["n_rows"]
+        if r.get("max_len") is not None:
+            max_len = r["max_len"] if max_len is None else max(max_len, r["max_len"])
         for k, c in zip(r["role_keys"], r["role_counts"]):
             roles[k] = roles.get(k, 0) + int(c)
         hist = hist.merge(Histogram(cfg.length_hist_buckets, np.asarray(r["hist"])))
@@ -112,6 +116,7 @@ def build_snapshot(
         ts_max=ts_max,
         ts_tdigest_means=ts_means,
         ts_tdigest_weights=ts_weights,
+        max_text_len=max_len,
     )
 
 

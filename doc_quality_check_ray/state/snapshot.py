@@ -32,6 +32,19 @@ class StatsSnapshot:
     #: histogram" sketch) — quantiles of the time distribution.
     ts_tdigest_means: list[float] = dataclasses.field(default_factory=list)
     ts_tdigest_weights: list[float] = dataclasses.field(default_factory=list)
+    #: exact max text length (mergeable via max)
+    max_text_len: int | None = None
+
+    # -- derived exact counts (hist/digest weights are exhaustive over
+    # non-null values, so null counts fall out of the totals) --------------
+    def null_text_count(self) -> int:
+        return self.n_rows - int(sum(self.length_hist))
+
+    def null_role_count(self) -> int:
+        return int(self.role_counts.get("<null>", 0))
+
+    def null_ts_count(self) -> int:
+        return self.n_rows - int(sum(self.ts_tdigest_weights))
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str | Path) -> None:

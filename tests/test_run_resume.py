@@ -63,6 +63,22 @@ def test_clean_run_and_reports(corpus, tmp_path):
     assert (out / "report.txt").exists() and (out / "report.html").exists()
 
 
+def test_export_content_json(corpus, tmp_path):
+    import json
+
+    import ray.data
+
+    from doc_quality_check_ray.pipelines.reports import export_content_json
+
+    ds = ray.data.read_parquet(corpus)
+    out = tmp_path / "content_json"
+    export_content_json(ds, str(out))
+    files = list(out.glob("*.json"))
+    assert files
+    row = json.loads(next(iter(files)).read_text().splitlines()[0])
+    assert set(row) == {"conv_id", "turn_idx", "text"}
+
+
 def test_kill_resume_identical(corpus, tmp_path):
     clean_out = tmp_path / "clean"
     run_validation(corpus, str(clean_out), CFG)
