@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript-table extras
         "v_ts_regressions": V.q_ts_regressions,
         "v_role_sequences": V.q_role_sequences,
+        "v_adjusted_scores": V.q_adjusted_scores,
         "v_conversation_verdicts": V.q_conversation_verdicts,
         "v_threshold_sweep": V.q_threshold_sweep,
         # event-stream operators
@@ -86,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "d_chunk_documents": O.sql_chunk_documents(),
         "v_ts_regressions": O.sql_ts_regressions(),
         "v_role_sequences": O.sql_role_sequences(),
+        "v_adjusted_scores": O.sql_adjusted_scores(),
         "v_conversation_verdicts": O.sql_conversation_verdicts(),
         "v_threshold_sweep": O.sql_threshold_sweep(),
         "e_parse_props": E.SQL_PARSE_PROPS,

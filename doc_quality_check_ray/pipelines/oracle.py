@@ -353,3 +353,20 @@ SELECT conv_id, count(*) AS n_repeats FROM (
 GROUP BY conv_id
 """
     )
+
+
+def sql_adjusted_scores(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    ratio = sql_valid_char_ratio_expr("t.text")
+    return (
+        TRANSCRIPTS_CTE
+        + f""",
+_share AS (
+  SELECT role, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM transcripts) AS share
+  FROM transcripts GROUP BY role
+)
+SELECT t.conv_id, t.turn_idx,
+       round(coalesce({ratio}, 0.0) * 0.7 + coalesce(s.share, 0.0) * 0.3, 6)
+         AS adjusted_score
+FROM transcripts t LEFT JOIN _share s ON t.role = s.role
+"""
+    )

@@ -267,6 +267,51 @@ def q_conversation_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG)
     return rolled.map_batches(finish, batch_format="pyarrow")
 
 
+def q_adjusted_scores(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-row quality score adjusted by the global role-frequency table —
+    the literal two-phase analog of the reference's frequency-based
+    confidence adjustment (A1+A2, ``modules/identity_detection.py:261-451``):
+    phase B aggregates a small global table, phase C broadcasts it back into
+    a per-row map (``ray.put`` once, dict lookup per batch).
+
+    adjusted = round(0.7·valid_char_ratio + 0.3·role_share, 6)
+    """
+    import ray as _ray
+
+    from ..functions.quality import valid_char_ratio
+
+    ds = derive_transcripts(sf_dir)
+
+    # phase B: global role frequencies (tiny)
+    counts = q_role_distribution(sf_dir, cfg).to_pandas()
+    total = int(counts["n"].sum())
+    share = {r: int(n) / total for r, n in zip(counts["role"], counts["n"])}
+    share_ref = _ray.put(share)
+
+    # phase C: broadcast map (vectorized lookup: index_in + take)
+    def adjust(t: pa.Table) -> pa.Table:
+        sh = _ray.get(share_ref)
+        keys = [k for k in sh if k is not None]
+        vals = pa.array([sh[k] for k in keys], pa.float64())
+        ratio = pc.fill_null(valid_char_ratio(t["text"]), 0.0)
+        idx = pc.index_in(t["role"], value_set=pa.array(keys, pa.string()))
+        role_share = pc.fill_null(pc.take(vals, idx), 0.0)
+        adj = pc.round(
+            pc.add(pc.multiply(ratio, 0.7), pc.multiply(role_share, 0.3)), ndigits=6
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "adjusted_score": adj,
+            }
+        )
+
+    return ds.map_batches(
+        adjust, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+    )
+
+
 SWEEP_THRESHOLDS = (0.1, 0.3, 0.5, 0.7, 0.9)
 
 
