@@ -8,7 +8,6 @@ gates, each wired as a ``queries()`` entry (SQL oracle where expressible).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

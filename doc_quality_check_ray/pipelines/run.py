@@ -23,7 +23,6 @@ module main), which guards init for standalone use.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from pathlib import Path
 from typing import Any
@@ -40,7 +39,6 @@ from ..stages.exchange import parquet_hash_exchange
 from ..state.manifest import RunManifest, atomic_output_dir
 from ..state.snapshot import StatsSnapshot
 from ..stages import drift as drift_mod
-from ..stages.keys import CHECK_DUP, CHECK_GAP
 from ..stages.row_checks import row_violations_batch
 from .validate import partition_id_col
 
