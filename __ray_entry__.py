@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream operators
         "e_parse_props": E.q_parse_props,
         "e_user_sessions": E.q_user_sessions,
+        "e_asof_last_signup": E.q_asof_last_signup,
     }
 
 
@@ -92,4 +93,5 @@ def oracle_sql() -> dict[str, str]:
         "v_threshold_sweep": O.sql_threshold_sweep(),
         "e_parse_props": E.SQL_PARSE_PROPS,
         "e_user_sessions": E.SQL_USER_SESSIONS,
+        "e_asof_last_signup": E.SQL_ASOF_LAST_SIGNUP,
     }

@@ -99,3 +99,48 @@ FROM (
   FROM events
 ) GROUP BY user_id
 """
+
+
+def q_asof_last_signup(sf_dir: str):
+    """As-of join: for every event, the most recent prior-or-equal 'signup'
+    timestamp of the same user — the engine's range/as-of join operator
+    (ray_guide.md "joins": sort both sides by (key, ts) within key buckets,
+    ``pd.merge_asof`` per bucket). Partitioning assumption: one user's
+    events fit one bucket task.
+
+    Output: (event_id, last_signup_ts nullable).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid % 64).astype(np.int64)))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.sort_values(["ts", "event_id"], kind="mergesort")
+        right = (
+            g[g["event_type"] == "signup"][["user_id", "ts"]]
+            .sort_values("ts", kind="mergesort")
+            .rename(columns={"ts": "last_signup_ts"})
+        )
+        out = pd.merge_asof(
+            left, right, left_on="ts", right_on="last_signup_ts",
+            by="user_id", direction="backward",
+        )
+        return out[["event_id", "last_signup_ts"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+SQL_ASOF_LAST_SIGNUP = """
+SELECT e.event_id, s.ts AS last_signup_ts
+FROM events e ASOF LEFT JOIN
+     (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
