@@ -217,7 +217,11 @@ def _ensure_derived_cache(sf_dir: str) -> str:
     import hashlib
     from pathlib import Path
 
-    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    # cache key covers the input path AND the derivation spec (the CTE string
+    # defines the semantics verbatim) — a semantics change invalidates caches
+    key = hashlib.md5(
+        (str(Path(sf_dir).resolve()) + TRANSCRIPTS_CTE).encode()
+    ).hexdigest()[:12]
     base = Path("/tmp/dqc_derived_cache") / key
     marker = base / "_complete"
     if marker.exists():
