@@ -120,15 +120,12 @@ class TDigest:
         # cumulative quantile of each centroid's left edge
         q_left = (np.cumsum(weights) - weights) / total
         k = self._k1(q_left, d)
-        # greedy clustering: start a new cluster when k-size would exceed 1
-        cluster = np.zeros(len(means), dtype=np.int64)
-        cid, k_start = 0, k[0]
-        for i in range(len(means)):
-            if k[i] - k_start > 1.0:
-                cid += 1
-                k_start = k[i]
-            cluster[i] = cid
-        ncl = cid + 1
+        # vectorized clustering: unit-width bins in k-space (each bin spans a
+        # k-size ≤ 1, the t-digest invariant) — fully numpy, no Python loop
+        cluster = np.floor(k - k[0]).astype(np.int64)
+        # relabel to consecutive ids
+        _, cluster = np.unique(cluster, return_inverse=True)
+        ncl = int(cluster[-1]) + 1
         w = np.bincount(cluster, weights=weights, minlength=ncl)
         m = np.bincount(cluster, weights=weights * means, minlength=ncl) / w
         self.means, self.weights = m, w

@@ -46,13 +46,43 @@ _NORM_STEPS_PY = tuple(
 
 _EDGE_CHARS = " \n"
 
+#: one-scan "needs the chain" detector: matches iff ANY of steps 1-7 could
+#: change the string. Unflagged strings are fixed points of the whole chain
+#: (single spaces survive ``[ \t]+→' '``; every other step needs a char this
+#: pattern matches), so they only need the final trim. Keeps the hot path at
+#: one regex pass instead of seven; the chain runs on the dirty subset only.
+_NEEDS_NORM_RE2 = r"[\x00-\x1f\x7f]|\x{FFFD}|\?{4,}|\x{2022}{4,}| {2}"
 
-def normalize_text_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """Vectorized normalizer over an Arrow string column (nulls pass through)."""
+
+def _full_chain(col):
     out = col
     for pat, rep in NORM_STEPS_RE2:
         out = pc.replace_substring_regex(out, pattern=pat, replacement=rep)
-    return pc.utf8_trim(out, characters=_EDGE_CHARS)
+    return out
+
+
+def normalize_text_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized normalizer over an Arrow string column (nulls pass through)."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flagged = pc.fill_null(pc.match_substring_regex(col, _NEEDS_NORM_RE2), False)
+    n_dirty = pc.sum(pc.cast(flagged, pa.int64())).as_py() or 0
+    if n_dirty == 0:
+        return pc.utf8_trim(col, characters=_EDGE_CHARS)
+    if n_dirty >= len(col) // 4:  # mostly dirty: chain everything
+        return pc.utf8_trim(_full_chain(col), characters=_EDGE_CHARS)
+    # sparse dirty rows: chain only the flagged subset, scatter back
+    arr = col.to_numpy(zero_copy_only=False)
+    mask = flagged.to_numpy(zero_copy_only=False)
+    idx = np.nonzero(mask)[0]
+    cleaned = _full_chain(pa.array(arr[idx], pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    arr = arr.copy()
+    arr[idx] = cleaned
+    return pc.utf8_trim(pa.array(arr, pa.string()), characters=_EDGE_CHARS)
 
 
 def sql_normalize_expr(col: str) -> str:
