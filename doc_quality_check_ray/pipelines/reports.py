@@ -42,6 +42,10 @@ def render_txt_report(out_dir: str | Path) -> str:
         f"gap conversations:     {summary['n_gap_conversations']}",
         f"partitions failed:     {summary['n_partitions_failed']} / {len(pv)}",
         f"drift:                 {summary['drift']}",
+        f"schema:                {'OK' if summary.get('schema', {}).get('ok', True) else 'FINDINGS'}"
+        f" ({len(summary.get('schema', {}).get('per_file', {}))} files with findings)",
+        f"column-stats gate:     "
+        f"{'PASS' if summary.get('column_stats_gate', {}).get('passed', True) else 'FAIL'}",
         "",
         "PER-PARTITION VERDICTS",
         "-" * 60,
