@@ -99,12 +99,6 @@ def _fused_phase1_batch_inner(t: pa.Table, cfg: ValidationConfig) -> pa.Table:
     import json
 
     v = row_violations_batch(t, cfg)
-    k = (
-        t.select(["conv_id", "turn_idx"])
-        .group_by(["conv_id", "turn_idx"])
-        .aggregate([([], "count_all")])
-        .rename_columns(["conv_id", "turn_idx", "cnt"])
-    )
     # kind='p'/'q': per-partition row / violation counts (partition_id rides
     # in turn_idx, count in cnt) — phase 2 builds the verdict manifest from
     # these KB-scale partials with no extra pass over rows or violations
@@ -156,7 +150,7 @@ def _fused_phase1_batch_inner(t: pa.Table, cfg: ValidationConfig) -> pa.Table:
 
     s = pa.table({"sketch": pa.array([sketch_json], pa.string())})
     return pa.concat_tables(
-        [pad(v, "v"), pad(k, "k"), pad(s, "s")] + [pad(tbl, kind) for kind, tbl in tagged]
+        [pad(v, "v"), pad(s, "s")] + [pad(tbl, kind) for kind, tbl in tagged]
     )
 
 
@@ -230,7 +224,12 @@ def _sketch_from_dict(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
     )
 
 
-def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) -> dict:
+def _phase2_global(
+    out: Path,
+    cfg: ValidationConfig,
+    snapshot_path: str | None,
+    input_files: list[str] | None = None,
+) -> dict:
     """Merge partials from all completed shards into global verdicts.
 
     Every intermediate that is consumed more than once is spilled to Parquet
@@ -242,12 +241,18 @@ def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) 
     import pandas as pd
 
     def bucket_findings(g: pd.DataFrame) -> pa.Table:
-        """Per bucket: merge key counts, emit dup-key and gap-conv findings.
+        """Per bucket: count key multiplicities, emit dup-key and gap-conv
+        findings. Input is raw (conv_id, turn_idx) rows straight off the
+        immutable input parquet — multiplicity IS the row count.
 
         Returns a typed Arrow table (typed even when empty, so downstream
         schema inference and size estimation never see object dtypes).
         """
-        kc = g.groupby(["conv_id", "turn_idx"], sort=False)["cnt"].sum().reset_index()
+        kc = (
+            g.groupby(["conv_id", "turn_idx"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
         dup = kc[kc["cnt"] > 1]
         conv = (
             kc.groupby("conv_id", sort=False)
@@ -288,27 +293,26 @@ def _phase2_global(out: Path, cfg: ValidationConfig, snapshot_path: str | None) 
 
     gdir = out / "global"
     with atomic_output_dir(gdir) as gtmp:
-        # ONE conv-keyed hash exchange over the checkpointed key partials
-        # produces every key-level finding. Bucketing on conv_id alone puts
-        # each conversation whole into one reduce task, so dup keys and
+        # ONE conv-keyed hash exchange straight over the (immutable, column-
+        # pruned) INPUT produces every key-level finding — phase 1 does not
+        # persist a per-key table at all: re-reading two narrow columns costs
+        # about the same as writing+reading 10^12 key partials would, and
+        # halves phase-1 output volume. Bucketing on conv_id alone puts each
+        # conversation whole into one reduce task, so dup keys and
         # conversation contiguity fall out of a single local merge.
-        # Assumption: one conversation's distinct keys fit one task (the
-        # per-batch combiners upstream already collapsed raw duplicates); the
+        # Assumption: one conversation's rows fit one reduce task; the
         # order-free mergeable-partials path in stages/keys.py is the
         # fallback for adversarial mega-conversations.
-        kfiles = _shard_dirs(out, "k")
         findings = (
             parquet_hash_exchange(
-                kfiles,
+                input_files,
                 ["conv_id"],
                 bucket_findings,
                 num_buckets=64,
-                columns=["conv_id", "turn_idx", "cnt"],
+                columns=["conv_id", "turn_idx"],
             )
-            if kfiles
-            else bucket_findings(
-                pd.DataFrame({"conv_id": [], "turn_idx": [], "cnt": []})
-            )
+            if input_files
+            else bucket_findings(pd.DataFrame({"conv_id": [], "turn_idx": []}))
         )
         kdir = gtmp / "key_findings"
         dup_t = findings.filter(pc.equal(findings["finding"], "dup")).select(
@@ -520,7 +524,7 @@ def run_validation(
     if stopped_early:
         return {"partial": True, "processed": processed, "skipped": skipped}
 
-    summary = _phase2_global(out, cfg, snapshot_path)
+    summary = _phase2_global(out, cfg, snapshot_path, input_files=[f for _, f in shards])
     summary.update(
         {
             "partial": False,
