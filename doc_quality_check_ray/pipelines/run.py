@@ -197,14 +197,17 @@ def _process_group(
 
 
 def _shard_sketches(shard_dir: Path, cfg: ValidationConfig) -> list:
-    """Deserialize the per-batch sketch rows of one shard."""
+    """Deserialize the per-batch sketch rows of one shard (single threaded
+    C++ scan over the many small per-block files)."""
     import json
 
-    out = []
-    for f in sorted(shard_dir.glob("kind=s/*.parquet")):
-        for s in pq.read_table(f, columns=["sketch"])["sketch"].to_pylist():
-            out.append(_sketch_from_dict(json.loads(s), cfg))
-    return out
+    import pyarrow.dataset as pads
+
+    files = sorted(str(p) for p in shard_dir.glob("kind=s/*.parquet"))
+    if not files:
+        return []
+    col = pads.dataset(files, format="parquet").to_table(columns=["sketch"])["sketch"]
+    return [_sketch_from_dict(json.loads(s), cfg) for s in col.to_pylist()]
 
 
 def _sketch_from_dict(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
@@ -363,8 +366,12 @@ def _phase2_global(
             files = _shard_dirs(out, kind)
             if not files:
                 return pd.DataFrame({"partition_id": [], alias: []}).astype("int64")
-            t = pa.concat_tables(
-                [pq.read_table(f, columns=["turn_idx", "cnt"]) for f in files]
+            import pyarrow.dataset as pads
+
+            # one threaded C++ scan over the many small per-block files
+            # (opening ~1600 files one by one on the driver costs seconds)
+            t = pads.dataset(files, format="parquet").to_table(
+                columns=["turn_idx", "cnt"]
             )
             return (
                 t.to_pandas()
