@@ -159,3 +159,57 @@ class TDigest:
         d.means = np.asarray(means, dtype=np.float64)
         d.weights = np.asarray(weights, dtype=np.float64)
         return d
+
+
+class HyperLogLog:
+    """Mergeable approximate distinct-count sketch (Flajolet et al. 2007,
+    with the standard small-range linear-counting correction). numpy-
+    vectorized over precomputed 64-bit hashes; register array of 2^p bytes.
+
+    Used for conversation cardinality inside the per-batch stats sketch —
+    the exact path (`stages/stats.py::n_distinct_conversations`) needs a key
+    shuffle; the sketch rides along in phase 1 for free.
+    """
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = np.asarray(h, dtype=np.uint64)
+        if len(h) == 0:
+            return self
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1, via float64 exponent
+        nz = rest != 0
+        lz = np.zeros(len(rest), dtype=np.uint8)
+        f = rest[nz].astype(np.float64)
+        lz[nz] = (63 - np.floor(np.log2(f))).astype(np.uint8) + 1
+        np.maximum.at(self.registers, idx, lz)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.sum(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        return float(est)
+
+    # -- serialization -----------------------------------------------------
+    def to_list(self) -> list[int]:
+        return self.registers.tolist()
+
+    @staticmethod
+    def from_list(regs: list[int], p: int = 12) -> "HyperLogLog":
+        h = HyperLogLog(p)
+        h.registers = np.asarray(regs, dtype=np.uint8)
+        return h

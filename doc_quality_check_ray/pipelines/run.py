@@ -224,6 +224,7 @@ def _sketch_from_dict(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
         ts_tdigest_means=d.get("ts_td_means", []),
         ts_tdigest_weights=d.get("ts_td_weights", []),
         max_text_len=d.get("max_len"),
+        hll_b64=d.get("hll"),
     )
 
 
@@ -407,8 +408,10 @@ def _phase2_global(
             pq.read_metadata(f).num_rows
             for f in (gtmp / "key_findings" / "finding=gap").glob("*.parquet")
         )
+        est = merged.n_convs_estimate()
         summary = {
             "n_rows": merged.n_rows,
+            "n_convs_estimate": int(est) if est is not None else None,
             "n_duplicate_keys": int(n_dup),
             "n_gap_conversations": int(n_gap),
             "n_partitions_failed": int((~pv["passed"]).sum()),
@@ -447,10 +450,15 @@ def _column_stats_gate(snap: StatsSnapshot, cfg: ValidationConfig) -> dict:
 def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
     from ..functions.sketches import Histogram, TDigest
 
+    import base64
+
+    from ..functions.sketches import HyperLogLog
+
     roles: dict[str, int] = {}
     hist = Histogram.empty(cfg.length_hist_buckets)
     td = TDigest(cfg.tdigest_compression)
     ts_td = TDigest(cfg.tdigest_compression)
+    hll = HyperLogLog()
     n, ts_min, ts_max = 0, None, None
     max_len = None
     sketches = []
@@ -458,6 +466,14 @@ def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
         sketches.extend(_shard_sketches(d, cfg))
     for s in sketches:
         ts_td = ts_td.merge(s.ts_tdigest())
+        if s.hll_b64:
+            import numpy as np
+
+            np.maximum(
+                hll.registers,
+                np.frombuffer(base64.b64decode(s.hll_b64), dtype=np.uint8),
+                out=hll.registers,
+            )
         if s.max_text_len is not None:
             max_len = s.max_text_len if max_len is None else max(max_len, s.max_text_len)
         n += s.n_rows
@@ -482,6 +498,7 @@ def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
         ts_tdigest_means=ts_td.to_arrays()[0],
         ts_tdigest_weights=ts_td.to_arrays()[1],
         max_text_len=max_len,
+        hll_b64=base64.b64encode(hll.registers.tobytes()).decode(),
     )
 
 

@@ -50,7 +50,18 @@ def _batch_sketch(t: pa.Table, cfg: ValidationConfig) -> dict:
     ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
     ts_td = TDigest(cfg.tdigest_compression).add(ts_us)
     ts_means, ts_weights = ts_td.to_arrays()
+    # conversation-cardinality sketch (HLL over conv_id hashes)
+    import base64
+
+    import polars as pl
+
+    from ..functions.sketches import HyperLogLog
+
+    conv_hashes = pl.from_arrow(pc.fill_null(t["conv_id"], "")).hash(seed=13).to_numpy()
+    hll = HyperLogLog().add_hashes(conv_hashes)
+    hll_b64 = base64.b64encode(hll.registers.tobytes()).decode()
     return {
+        "hll": hll_b64,
         "n_rows": t.num_rows,
         "role_keys": rc["role"].to_pylist(),
         "role_counts": rc["count_all"].to_pylist(),
@@ -81,15 +92,26 @@ def build_snapshot(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> StatsSnapshot:
     """Phase B: stream → per-batch sketches → driver merge (tiny rows only)."""
+    import base64
+
+    from ..functions.sketches import HyperLogLog
+
     rows = sketch_partials(ds, cfg).take_all()
     roles: dict[str, int] = {}
     hist = Histogram.empty(cfg.length_hist_buckets)
     td = TDigest(cfg.tdigest_compression)
     ts_td = TDigest(cfg.tdigest_compression)
+    hll = HyperLogLog()
     n, ts_min, ts_max = 0, None, None
     max_len = None
     for r in rows:
         n += r["n_rows"]
+        if r.get("hll"):
+            np.maximum(
+                hll.registers,
+                np.frombuffer(base64.b64decode(r["hll"]), dtype=np.uint8),
+                out=hll.registers,
+            )
         if r.get("max_len") is not None:
             max_len = r["max_len"] if max_len is None else max(max_len, r["max_len"])
         for k, c in zip(r["role_keys"], r["role_counts"]):
@@ -117,6 +139,7 @@ def build_snapshot(
         ts_tdigest_means=ts_means,
         ts_tdigest_weights=ts_weights,
         max_text_len=max_len,
+        hll_b64=base64.b64encode(hll.registers.tobytes()).decode(),
     )
 
 

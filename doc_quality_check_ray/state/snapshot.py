@@ -34,6 +34,18 @@ class StatsSnapshot:
     ts_tdigest_weights: list[float] = dataclasses.field(default_factory=list)
     #: exact max text length (mergeable via max)
     max_text_len: int | None = None
+    #: base64-packed HyperLogLog registers (conversation cardinality sketch)
+    hll_b64: str | None = None
+
+    def n_convs_estimate(self) -> float | None:
+        if not self.hll_b64:
+            return None
+        import base64
+
+        from ..functions.sketches import HyperLogLog
+
+        regs = np.frombuffer(base64.b64decode(self.hll_b64), dtype=np.uint8)
+        return HyperLogLog.from_list(regs).estimate()
 
     # -- derived exact counts (hist/digest weights are exhaustive over
     # non-null values, so null counts fall out of the totals) --------------

@@ -75,3 +75,14 @@ def test_drift_scan_actor_pool():
     assert len(rows) >= 1
     assert rows["drifted"].all()
     assert rows["n_rows"].sum() == len(drifted)
+
+
+def test_hll_conversation_estimate():
+    """Merged per-batch HLL sketches estimate conv cardinality within ~5%."""
+    from doc_quality_check_ray.stages.drift import build_snapshot
+
+    table, _ = synth_transcripts(n_convs=2000, turns_per_conv=4, seed=8)
+    snap = build_snapshot(ray.data.from_arrow(table).repartition(8), ValidationConfig())
+    est = snap.n_convs_estimate()
+    assert est is not None
+    assert abs(est - 2000) / 2000 < 0.05
