@@ -1,24 +1,29 @@
 """The resumable end-to-end validation run — the ``ray job submit`` entry.
 
-Two phases, mirroring the reference's lifecycle (SURVEY.md §3.1/§3.3):
+Phases, mirroring the reference's lifecycle (SURVEY.md §3.1/§3.3):
 
-**Phase 1 — per-shard scan (resumable).** One input parquet file = one shard
-(the "shards" of ``get_files_in_folder``, ``test_readability.py:138-164``).
-For each shard not yet in the manifest: stream blocks through the row-check
-stage, write violation rows + distinct-key partials + a stats sketch, then
-atomically mark complete. A killed run resumes by skipping completed shards —
-the idempotent-per-file analog of the reference's per-file loop + report
-folders (K4).
+**Phase 0 — schema conformance.** Metadata-only validation of every input
+file against the declared transcript schema.
 
-**Phase 2 — global merge (idempotent, tiny).** Reads only the *partials*
-written by phase 1 (distinct-key counts ≪ raw rows; sketches are KB-sized):
-duplicate keys, turn-gap conversations, partition verdicts, corpus stats,
-drift vs an optional reference snapshot. Rerunning phase 2 overwrites
-``global/`` wholesale.
+**Phase 1 — fused scan (resumable).** Input files are processed in fixed
+checkpoint groups (the "shards" of ``get_files_in_folder``,
+``test_readability.py:138-164``, batched for cluster-wide parallelism). ONE
+streaming pass per group emits a tagged union of: violation rows (kind=v),
+per-partition row/violation counts (p/q), per-batch stats sketches incl.
+histograms, t-digests and an HLL (s), and per-turn normalized-text
+fingerprints (f) — written atomically, manifest entry last. A killed run
+resumes by skipping completed groups — the idempotent-per-file analog of the
+reference's per-file loop + report folders (K4).
+
+**Phase 2 — global merge (idempotent).** A single conv-keyed hash exchange
+over the (immutable, column-pruned) input yields duplicate-key and turn-gap
+findings; partition verdicts, merged corpus stats, column-stats gates, and
+drift-vs-snapshot come from the KB-scale phase-1 partials. Rerunning phase 2
+overwrites ``global/`` wholesale.
 
 Nothing here calls ``ray.init`` — the driver owns the session. CLI:
-``python -m doc_quality_check_ray.run --input DIR --out DIR`` (see run.py
-module main), which guards init for standalone use.
+``python -m doc_quality_check_ray --input DIR --out DIR`` (guards init for
+standalone use; ``--verify-equality A B`` compares two runs' fingerprints).
 """
 
 from __future__ import annotations
@@ -53,7 +58,8 @@ def _list_shards(input_path: str) -> list[tuple[str, str]]:
 
 
 #: union schema of the fused phase-1 output, discriminated by ``kind``:
-#: 'v' = violation row, 'k' = distinct-key partial, 's' = per-batch sketch.
+#: 'v' = violation row, 'p'/'q' = per-partition row/violation counts,
+#: 's' = per-batch sketch, 'f' = per-turn normalized-text fingerprint.
 _FUSED_FIELDS = {
     "conv_id": pa.string(),
     "turn_idx": pa.int32(),
