@@ -363,6 +363,18 @@ def _phase2_global(
                     psi_role > cfg.psi_threshold or psi_len > cfg.psi_threshold
                 ),
             }
+            # per-batch drift rows via the DriftChecker ACTOR POOL (snapshot
+            # broadcast once via ray.put, fetched in __init__ once per actor
+            # — the A2/T1 pattern): localizes WHERE in the stream the
+            # distribution moved, beyond the corpus-level verdict above.
+            if input_files:
+                drift_mod.drift_scan(
+                    ray.data.read_parquet(
+                        input_files, columns=["conv_id", "role", "text", "ts"]
+                    ),
+                    ref,
+                    cfg,
+                ).write_parquet(str(gtmp / "drift_batches"))
         import json
 
         (gtmp / "drift.json").write_text(json.dumps(drift_info))

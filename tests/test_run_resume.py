@@ -111,3 +111,8 @@ def test_drift_gate_against_snapshot(corpus, tmp_path):
     out2 = tmp_path / "out4"
     s = run_validation(corpus, str(out2), CFG, snapshot_path=str(snap))
     assert s["drift"]["checked"] is True and s["drift"]["drifted"] is False
+
+    # the actor-pool per-batch scan ran and covered every row
+    batches = pq.read_table(out2 / "global" / "drift_batches").to_pandas()
+    assert batches["n_rows"].sum() == s["n_rows"]
+    assert not batches["drifted"].any()
