@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_knn": D.q_knn,
         "d_cosine_near_dup": D.q_cosine_near_dup,
         "d_lsh_near_dup": D.q_lsh_near_dup,
+        "d_ivf_knn": D.q_ivf_knn,
         "t_token_stats": D.q_token_stats,
         "t_langid": D.q_langid,
         "t_fingerprints": D.q_fingerprints,

@@ -24,7 +24,12 @@ from ..stages.dedup import (
     simhash_pairs,
 )
 from ..stages.multimodal import attach_fake_payloads, decode_stage
-from ..stages.similarity import cosine_near_dup_pairs, knn_brute_force, lsh_bucket_near_dup
+from ..stages.similarity import (
+    cosine_near_dup_pairs,
+    ivf_knn,
+    knn_brute_force,
+    lsh_bucket_near_dup,
+)
 
 KNN_QUERY_IDS = list(range(10))
 KNN_K = 10
@@ -74,6 +79,12 @@ def q_cosine_near_dup(sf_dir: str):
 
 def q_lsh_near_dup(sf_dir: str):
     return lsh_bucket_near_dup(_embs(sf_dir), threshold=COSINE_THRESHOLD)
+
+
+def q_ivf_knn(sf_dir: str):
+    """IVF approximate kNN (clustered scale path); recall measured against
+    q_knn in tests. No SQL oracle (iterative k-means)."""
+    return ivf_knn(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K)
 
 
 # -- text analysis ----------------------------------------------------------

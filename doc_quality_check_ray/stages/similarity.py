@@ -217,3 +217,110 @@ def lsh_bucket_near_dup(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(df, preserve_index=False).cast(PAIR_SCHEMA)
+
+
+def ivf_knn(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF (inverted-file) approximate kNN — the clustered scale path.
+
+    1. **Train**: seeded k-means (few Lloyd iterations, numpy) on a
+       deterministic sample of the corpus → ``n_centroids`` centroids.
+    2. **Assign**: one streaming pass tags every vector with its nearest
+       centroid (the inverted lists; at cluster scale this is a partitioned
+       write keyed by centroid).
+    3. **Search**: each query scans only its ``n_probe`` closest centroids'
+       lists — candidate volume shrinks ~``n_centroids / n_probe``-fold vs
+       brute force, trading bounded recall loss.
+
+    Deterministic (seeded init + fixed iteration count). Output shape and
+    ordering match :func:`knn_brute_force` so recall is directly measurable.
+    """
+    import pyarrow.compute as pc
+
+    # -- train on a deterministic sample (first rows of the dataset order) --
+    sample = pa.concat_tables(
+        list(
+            ds.limit(sample_size)
+            .select_columns([vec_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    X = _unit(_matrix(sample, vec_col))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(8):  # Lloyd iterations (fixed count → deterministic)
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    cent_ref = ray.put(cent)
+
+    # -- queries + their probed centroid lists --
+    qset = set(int(q) for q in query_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(sorted(qset))))
+
+    qt = pa.concat_tables(
+        list(ds.map_batches(grab, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    )
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
+    Q = _unit(_matrix(qt, vec_col))
+    q_probes = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probes_ref = ray.put((q_ids, Q, q_probes))
+
+    # -- streaming assign + per-batch local top-k over probed lists only --
+    def local_topk(t: pa.Table) -> pa.Table:
+        c_ = ray.get(cent_ref)
+        q_ids_, Q_, q_probes_ = ray.get(probes_ref)
+        M = _unit(_matrix(t, vec_col))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(M @ c_.T, axis=1)  # inverted-list id per vector
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(q_ids_)):
+            mask = np.isin(assign, q_probes_[j])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            sims = M[mask] @ Q_[j]
+            kk = min(k + 1, len(cand_ids))
+            sel = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(len(sel), q_ids_[j], dtype=np.int64))
+            out_n.append(cand_ids[sel])
+            out_s.append(sims[sel])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand["cosine"] = cand["cosine"].round(ROUND)
+    cand = cand.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

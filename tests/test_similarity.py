@@ -62,3 +62,31 @@ def test_lsh_recall_on_planted_pairs():
     assert (7, 200) in approx_pairs
     if exact_pairs:
         assert len(approx_pairs) / len(exact_pairs) >= 0.5
+
+
+def test_ivf_knn_recall_vs_brute_force():
+    from doc_quality_check_ray.stages.similarity import ivf_knn
+
+    ds, _ = _embs(n=400)
+    exact = knn_brute_force(ds, query_ids=[0, 5, 7, 11], k=10).to_pandas()
+    approx = ivf_knn(ds, query_ids=[0, 5, 7, 11], k=10, n_centroids=8, n_probe=4).to_pandas()
+    # same output shape/ordering contract
+    assert list(approx.columns) == ["query_id", "neighbor_id", "cosine"]
+    recalls = []
+    for q in (0, 5, 7, 11):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5  # probing half the lists
+    # planted near-identical pair must survive IVF (same cluster by construction)
+    a5 = approx[approx.query_id == 5]
+    assert 100 in set(a5.neighbor_id)
+
+
+def test_ivf_knn_deterministic():
+    from doc_quality_check_ray.stages.similarity import ivf_knn
+
+    ds, _ = _embs(n=300)
+    a = ivf_knn(ds, query_ids=[3, 9], k=5).to_pandas()
+    b = ivf_knn(ds, query_ids=[3, 9], k=5).to_pandas()
+    assert a.equals(b)
