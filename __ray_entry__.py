@@ -77,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         "v_column_stats": O.sql_column_stats(),
         "v_role_distribution": O.sql_role_distribution(),
         "v_partition_verdicts": O.sql_partition_verdicts(),
+        "v_all_violations": O.sql_all_violations(),
         "v_role_drift": O.sql_role_drift(),
         "d_exact_dedup": O.SQL_EXACT_DEDUP,
         "d_knn": O.sql_knn(D.KNN_QUERY_IDS, D.KNN_K),

@@ -370,3 +370,41 @@ SELECT t.conv_id, t.turn_idx,
 FROM transcripts t LEFT JOIN _share s ON t.role = s.role
 """
     )
+
+
+def sql_all_violations(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Full violation-row union (row checks + duplicate keys + turn gaps) in
+    the shared (conv_id, turn_idx, check_id, detail) format."""
+    ratio = sql_valid_char_ratio_expr("text")
+    return (
+        TRANSCRIPTS_CTE
+        + f"""
+SELECT conv_id, turn_idx, 'empty_turn' AS check_id, 'text null or blank' AS detail
+  FROM transcripts WHERE text IS NULL OR trim(text) = ''
+UNION ALL
+SELECT conv_id, turn_idx, 'invalid_role', 'role=' || coalesce(role, '<null>')
+  FROM transcripts WHERE role IS NULL OR role NOT IN ({_roles_in(cfg)})
+UNION ALL
+SELECT conv_id, turn_idx, 'tool_role_consistency', 'missing_tool'
+  FROM transcripts WHERE coalesce(role, '') = 'tool' AND tool IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'tool_role_consistency', 'unexpected_tool'
+  FROM transcripts WHERE coalesce(role, '') <> 'tool' AND tool IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'low_quality_text',
+       'valid_char_ratio<{cfg.quality_ratio_threshold}'
+  FROM transcripts
+ WHERE NOT (text IS NULL OR trim(text) = '')
+   AND {ratio} < {cfg.quality_ratio_threshold}
+UNION ALL
+SELECT conv_id, turn_idx, 'duplicate_key', 'n=' || count(*)
+  FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
+UNION ALL
+SELECT conv_id, CAST(-1 AS INTEGER), 'turn_gap',
+       'n=' || count(*) || ',distinct=' || count(DISTINCT turn_idx)
+        || ',min=' || min(turn_idx) || ',max=' || max(turn_idx)
+  FROM transcripts GROUP BY conv_id
+  HAVING NOT (min(turn_idx) = 0 AND max(turn_idx) = count(DISTINCT turn_idx) - 1
+              AND count(*) = count(DISTINCT turn_idx))
+"""
+    )
