@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .rounding import round_half_away
+
 TOKEN_SPLIT_RE2 = r"\s+"
 
 #: tiny per-language function-word banks (public knowledge, not from the
@@ -111,7 +113,7 @@ def quality_scores(text) -> np.ndarray:
     nchars = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
     stop_band = ((stop_ratio >= 0.05) & (stop_ratio <= 0.6)).astype(np.float64)
     len_band = ((nchars >= 50) & (nchars <= 2000)).astype(np.float64)
-    return np.round(0.5 * ar + 0.3 * stop_band + 0.2 * len_band, 6)
+    return round_half_away(0.5 * ar + 0.3 * stop_band + 0.2 * len_band, 6)
 
 
 def sql_quality_score_expr(col: str) -> str:

@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions import textstats as ts
+from ..functions.rounding import pc_round_half_away
 from ..stages.exchange import hash_bucket_aggregate
 from ..functions.hashing import md5_fingerprints
 from ..functions.text_norm import normalize_text_arrow
@@ -100,7 +101,7 @@ def q_token_stats(sf_dir: str):
                 "doc_id": t["doc_id"],
                 "n_tokens": pa.array(ts.token_counts(t["text"], n), pa.int64()),
                 "n_stopwords": pa.array(ts.stopword_counts(t["text"], n), pa.int64()),
-                "alpha_ratio": pc.round(ts.alpha_ratio(t["text"]), 6),
+                "alpha_ratio": pc_round_half_away(ts.alpha_ratio(t["text"]), 6),
                 "quality_score": pa.array(ts.quality_scores(t["text"]), pa.float64()),
             }
         )

@@ -84,15 +84,16 @@ def q_user_sessions(sf_dir: str):
 
 SQL_PARSE_PROPS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
 SQL_USER_SESSIONS = f"""
 SELECT user_id, count(*) AS n_events,
-       1 + sum(CASE WHEN prev IS NOT NULL
-                     AND ts - prev > INTERVAL {SESSION_GAP_SEC} SECONDS
-                    THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                          AND ts - prev > INTERVAL {SESSION_GAP_SEC} SECONDS
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -98,13 +98,13 @@ def sql_column_stats(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
         + """
 SELECT count(*) AS n_rows,
        count(DISTINCT conv_id) AS n_convs,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-       sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS null_role,
-       sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS null_tool,
-       sum(CASE WHEN ts   IS NULL THEN 1 ELSE 0 END) AS null_ts,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+       CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_role,
+       CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tool,
+       CAST(sum(CASE WHEN ts   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
        min(length(text)) AS min_text_len,
        max(length(text)) AS max_text_len,
-       sum(length(text)) AS sum_text_len,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
        min(ts) AS min_ts,
        max(ts) AS max_ts,
        count(DISTINCT role) AS n_roles
@@ -305,7 +305,7 @@ def sql_conversation_verdicts(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
         TRANSCRIPTS_CTE
         + f"""
 SELECT conv_id, count(*) AS n_rows,
-       sum(CASE WHEN {bad} THEN 1 ELSE 0 END) AS n_bad_rows,
+       CAST(sum(CASE WHEN {bad} THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rows,
        sum(CASE WHEN {bad} THEN 1 ELSE 0 END) = 0 AS passed
 FROM transcripts GROUP BY conv_id
 """
@@ -318,7 +318,8 @@ def sql_threshold_sweep(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     ratio = sql_valid_char_ratio_expr("text")
     parts = [
         f"""SELECT CAST({thr} AS DOUBLE) AS threshold,
-       sum(CASE WHEN coalesce({ratio} < {thr}, FALSE) THEN 1 ELSE 0 END) AS n_below,
+       CAST(sum(CASE WHEN coalesce({ratio} < {thr}, FALSE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below,
        count(*) AS n_rows
   FROM transcripts"""
         for thr in SWEEP_THRESHOLDS

@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import DEFAULT_CONFIG, ValidationConfig
+from ..functions.rounding import pc_round_half_away, round_half_away_scalar
 from ..stages.exchange import hash_bucket_aggregate
 from ..sources.transcripts import derive_transcripts
 from ..stages.keys import (
@@ -106,7 +107,7 @@ def q_role_drift(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Tabl
     q = [int(odd.get(r, 0)) for r in domain]
     return pa.table(
         {
-            "psi_role": pa.array([round(psi(p, q), 6)], pa.float64()),
+            "psi_role": pa.array([round_half_away_scalar(psi(p, q), 6)], pa.float64()),
             "n_even": pa.array([int(sum(p))], pa.int64()),
             "n_odd": pa.array([int(sum(q))], pa.int64()),
         }
@@ -296,8 +297,8 @@ def q_adjusted_scores(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         ratio = pc.fill_null(valid_char_ratio(t["text"]), 0.0)
         idx = pc.index_in(t["role"], value_set=pa.array(keys, pa.string()))
         role_share = pc.fill_null(pc.take(vals, idx), 0.0)
-        adj = pc.round(
-            pc.add(pc.multiply(ratio, 0.7), pc.multiply(role_share, 0.3)), ndigits=6
+        adj = pc_round_half_away(
+            pc.add(pc.multiply(ratio, 0.7), pc.multiply(role_share, 0.3)), 6
         )
         return pa.table(
             {

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .exchange import hash_bucket_aggregate
+from ..functions.rounding import round_half_away, round_half_away_scalar
 from ..functions.hashing import (
     band_hashes,
     hamming_distance,
@@ -194,7 +195,7 @@ def minhash_lsh_pairs(
         {
             "a_id": pa.array(out["a_id"].astype("int64")),
             "b_id": pa.array(out["b_id"].astype("int64")),
-            "jaccard": pa.array(np.round(sims[keep], 6), pa.float64()),
+            "jaccard": pa.array(round_half_away(sims[keep], 6), pa.float64()),
         }
     )
 
@@ -363,7 +364,9 @@ def ngram_jaccard_pairs(
                 i, j = order[x], order[y]
                 sim = jaccard(sets[i], sets[j])
                 if sim >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(float(sim), 6)))
+                    rows.append(
+                        (int(ids[i]), int(ids[j]), round_half_away_scalar(sim, 6))
+                    )
         out = pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"])
         return out.astype({"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
 

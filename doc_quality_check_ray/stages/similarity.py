@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.rounding import round_half_away
+
 ROUND = 5
 
 PAIR_SCHEMA = pa.schema(
@@ -107,7 +109,7 @@ def knn_brute_force(
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
-    cand["cosine"] = cand["cosine"].round(ROUND)
+    cand["cosine"] = round_half_away(cand["cosine"].to_numpy(), ROUND)
     cand = cand.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
     )
@@ -146,7 +148,7 @@ def cosine_near_dup_pairs(
             {
                 "a_id": pa.array(ids[r], pa.int64()),
                 "b_id": pa.array(ids_all[c], pa.int64()),
-                "cosine": pa.array(np.round(sims[r, c], ROUND), pa.float64()),
+                "cosine": pa.array(round_half_away(sims[r, c], ROUND), pa.float64()),
             }
         )
 
@@ -200,7 +202,7 @@ def lsh_bucket_near_dup(
         keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
         r, c = np.nonzero(keep)
         return pd.DataFrame(
-            {"a_id": ids[r], "b_id": ids[c], "cosine": np.round(sims[r, c], ROUND)}
+            {"a_id": ids[r], "b_id": ids[c], "cosine": round_half_away(sims[r, c], ROUND)}
         )
 
     df = (
@@ -318,7 +320,7 @@ def ivf_knn(
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
-    cand["cosine"] = cand["cosine"].round(ROUND)
+    cand["cosine"] = round_half_away(cand["cosine"].to_numpy(), ROUND)
     cand = cand.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
     )

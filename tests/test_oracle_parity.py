@@ -49,7 +49,10 @@ def test_query_matches_oracle(name: str, sf_dir: str):
     con = _duck(sf_dir)
     want = _norm(con.sql(entry_mod.oracle_sql()[name]).df())
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # dtype-sensitive exact compare — the local gate must equal the driver's
+    # type-sensitive value-hash (round-1 lesson: rtol/check_dtype=False let
+    # HUGEINT-vs-int64 and half-even-vs-half-away defects ship green locally).
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
 
 
 def test_entry_smoke():
