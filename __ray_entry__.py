@@ -82,6 +82,9 @@ def oracle_sql() -> dict[str, str]:
         "d_exact_dedup": O.SQL_EXACT_DEDUP,
         "d_knn": O.sql_knn(D.KNN_QUERY_IDS, D.KNN_K),
         "d_cosine_near_dup": O.sql_cosine_near_dup(D.COSINE_THRESHOLD),
+        "d_ngram_jaccard": O.sql_ngram_jaccard(),
+        "v_text_len_quantiles": O.sql_text_len_quantiles(),
+        "v_ts_quantiles": O.sql_ts_quantiles(),
         "t_token_stats": O.sql_token_stats(),
         "t_langid": O.sql_langid(),
         "t_fingerprints": O.sql_fingerprints(),

@@ -278,6 +278,64 @@ FROM documents
 """
 
 
+def sql_text_len_quantiles(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    from .validate import TEXT_LEN_QUANTILES
+
+    parts = [
+        f"""SELECT CAST({q} AS DOUBLE) AS quantile,
+       CAST(quantile_disc(length(text), {q}) AS BIGINT) AS text_len
+  FROM transcripts"""
+        for q in TEXT_LEN_QUANTILES
+    ]
+    return TRANSCRIPTS_CTE + "\nUNION ALL\n".join(parts)
+
+
+def sql_ts_quantiles(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    from .validate import TS_QUANTILES
+
+    parts = [
+        f"""SELECT CAST({q} AS DOUBLE) AS quantile,
+       CAST(quantile_disc(epoch_us(ts), {q}) AS BIGINT) AS ts_epoch_us
+  FROM transcripts"""
+        for q in TS_QUANTILES
+    ]
+    return TRANSCRIPTS_CTE + "\nUNION ALL\n".join(parts)
+
+
+def sql_ngram_jaccard(threshold: float = 0.5, shingle_k: int = 3) -> str:
+    """Exact twin of stages.dedup.ngram_jaccard_pairs.
+
+    Same shingle semantics as functions.hashing.shingle_hashes: lowercased
+    whitespace tokens; rows with ≥k tokens contribute their distinct
+    consecutive k-grams, shorter rows their whole token sequence as one
+    element. Tokens contain no whitespace, so a space-joined gram string is
+    an injective encoding of the engine's hashed tuple (equal Jaccard modulo
+    ~2^-64 hash collisions).
+    """
+    assert shingle_k == 3, "SQL twin is written for k=3"
+    jac = (
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.grams, b.grams)))"
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(ts) - 2),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+         ELSE [array_to_string(ts, ' ')] END AS grams
+  FROM tok
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, round({jac}, 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE {jac} >= {threshold}
+"""
+
+
 def sql_ts_regressions(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     return (
         TRANSCRIPTS_CTE

@@ -114,35 +114,92 @@ def q_role_drift(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Tabl
     )
 
 
-def q_text_len_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Approximate text-length quantiles from the merged t-digest — the
-    distributed analog of the reference's sorted-percentile table
-    (``tests/analyze_thresholds.py:107-113``). No SQL oracle (sketch)."""
-    from ..stages.drift import build_snapshot
+TEXT_LEN_QUANTILES = (0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+TS_QUANTILES = (0.10, 0.50, 0.90)
 
-    snap = build_snapshot(derive_transcripts(sf_dir), cfg)
-    td = snap.tdigest()
-    qs = (0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+
+def _exact_quantiles_from_hist(hist, qs) -> list[int]:
+    """Discrete quantiles (DuckDB ``quantile_disc`` semantics: sorted
+    non-null element at 1-based index ceil(q·n)) from a (value, count)
+    histogram sorted by value."""
+    import numpy as np
+
+    vals = hist["v"].to_numpy()
+    cum = np.cumsum(hist["n"].to_numpy())
+    total = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = min(max(int(np.ceil(np.float64(q) * total)), 1), total)
+        out.append(int(vals[np.searchsorted(cum, idx)]))
+    return out
+
+
+def _exact_value_quantiles(
+    ds: ray.data.Dataset, derive, qs, cfg: ValidationConfig
+) -> list[int]:
+    """Exact quantiles of an integer-valued column via a distributed
+    (value → count) histogram: per-batch combiner → hash-bucket exchange →
+    driver-side cumsum over the (bounded) distinct-value table.
+
+    This is the *query-scale exact twin* of the run-path t-digest sketch
+    (the reference's sorted-percentile table, ``tests/analyze_thresholds.py:
+    107-113``, computes the same thing in-memory). It is exact whenever the
+    distinct-value count is driver-sized (text lengths are band-limited;
+    timestamps at query scale); the 100 TB manifest path keeps the t-digest
+    (``stages/drift.py``), pinned against this exact twin in pytest.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = derive(t)
+        g = (
+            pa.table({"v": v})
+            .drop_null()
+            .group_by("v")
+            .aggregate([([], "count_all")])
+            .rename_columns(["v", "n"])
+        )
+        return g
+
+    hist = (
+        hash_bucket_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size),
+            ["v"],
+            {"n": ("n", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    return _exact_quantiles_from_hist(hist, qs)
+
+
+def q_text_len_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Exact text-length quantiles (quantile_disc semantics) — the
+    distributed analog of the reference's sorted-percentile table
+    (``tests/analyze_thresholds.py:107-113``)."""
+    ds = derive_transcripts(sf_dir).select_columns(["text"])
+    vals = _exact_value_quantiles(
+        ds, lambda t: pc.utf8_length(t["text"]), TEXT_LEN_QUANTILES, cfg
+    )
     return pa.table(
         {
-            "quantile": pa.array(list(qs), pa.float64()),
-            "text_len": pa.array([td.quantile(x) for x in qs], pa.float64()),
+            "quantile": pa.array(list(TEXT_LEN_QUANTILES), pa.float64()),
+            "text_len": pa.array(vals, pa.int64()),
         }
     )
 
 
 def q_ts_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Approximate timestamp quantiles from the merged epoch-us t-digest —
-    the timestamp-range sketch of the stats snapshot. No SQL oracle."""
-    from ..stages.drift import build_snapshot
-
-    snap = build_snapshot(derive_transcripts(sf_dir), cfg)
-    td = snap.ts_tdigest()
-    qs = (0.10, 0.50, 0.90)
+    """Exact timestamp quantiles as epoch-microseconds (quantile_disc
+    semantics) — the exact twin of the stats snapshot's ts t-digest."""
+    ds = derive_transcripts(sf_dir).select_columns(["ts"])
+    vals = _exact_value_quantiles(
+        ds, lambda t: pc.cast(t["ts"], pa.int64()), TS_QUANTILES, cfg
+    )
     return pa.table(
         {
-            "quantile": pa.array(list(qs), pa.float64()),
-            "ts_epoch_us": pa.array([td.quantile(x) for x in qs], pa.float64()),
+            "quantile": pa.array(list(TS_QUANTILES), pa.float64()),
+            "ts_epoch_us": pa.array(vals, pa.int64()),
         }
     )
 

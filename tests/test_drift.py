@@ -35,6 +35,27 @@ def test_tdigest_merge_equals_bulk():
         assert abs(merged.quantile(q) - bulk.quantile(q)) < np.std(data) * 0.05
 
 
+def test_tdigest_pinned_to_exact_quantiles(sf_dir):
+    """The run-path t-digest sketch must track the exact quantile twin
+    (q_text_len_quantiles) — bounds the sketch error the manifest reports."""
+    from doc_quality_check_ray.config import DEFAULT_CONFIG
+    from doc_quality_check_ray.pipelines.validate import (
+        TEXT_LEN_QUANTILES,
+        q_text_len_quantiles,
+    )
+    from doc_quality_check_ray.sources.transcripts import derive_transcripts
+
+    exact_t = q_text_len_quantiles(sf_dir)
+    exact = dict(zip(exact_t["quantile"].to_pylist(), exact_t["text_len"].to_pylist()))
+    snap = build_snapshot(derive_transcripts(sf_dir), DEFAULT_CONFIG)
+    td = snap.tdigest()
+    spread = max(exact[0.99] - exact[0.10], 1)
+    for q in TEXT_LEN_QUANTILES:
+        assert abs(td.quantile(q) - exact[q]) <= max(2.0, 0.05 * spread), (
+            q, exact[q], td.quantile(q),
+        )
+
+
 def test_histogram_and_psi():
     edges = (0, 10, 20, 50)
     a = Histogram.of(np.array([1.0, 5, 15, 100]), edges)
