@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_langid": D.q_langid,
         "t_fingerprints": D.q_fingerprints,
         "t_top_terms": D.q_top_terms,
+        "t_two_tier_scores": D.q_two_tier_scores,
         "mm_decode": D.q_mm_decode,
         "d_chunk_documents": D.q_chunk_documents,
         # transcript-table extras
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_role_sequences": V.q_role_sequences,
         "v_adjusted_scores": V.q_adjusted_scores,
         "v_conversation_verdicts": V.q_conversation_verdicts,
+        "v_worst_turns": V.q_worst_turns,
         "v_threshold_sweep": V.q_threshold_sweep,
         # event-stream operators
         "e_parse_props": E.q_parse_props,
@@ -89,12 +91,14 @@ def oracle_sql() -> dict[str, str]:
         "t_langid": O.sql_langid(),
         "t_fingerprints": O.sql_fingerprints(),
         "t_top_terms": O.sql_top_terms(),
+        "t_two_tier_scores": O.sql_two_tier_scores(D.TWO_TIER_CUTOFF),
         "mm_decode": O.sql_mm_decode(),
         "d_chunk_documents": O.sql_chunk_documents(),
         "v_ts_regressions": O.sql_ts_regressions(),
         "v_role_sequences": O.sql_role_sequences(),
         "v_adjusted_scores": O.sql_adjusted_scores(),
         "v_conversation_verdicts": O.sql_conversation_verdicts(),
+        "v_worst_turns": O.sql_worst_turns(),
         "v_threshold_sweep": O.sql_threshold_sweep(),
         "e_parse_props": E.SQL_PARSE_PROPS,
         "e_user_sessions": E.SQL_USER_SESSIONS,

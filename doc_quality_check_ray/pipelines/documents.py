@@ -35,6 +35,8 @@ from ..stages.similarity import (
 KNN_QUERY_IDS = list(range(10))
 KNN_K = 10
 COSINE_THRESHOLD = 0.8
+#: below this cheap (alpha-ratio) score a row earns the expensive rescore
+TWO_TIER_CUTOFF = 0.82
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
@@ -163,6 +165,22 @@ def q_top_terms(sf_dir: str, top_k: int = 50):
     ).to_pandas()
     counts = counts.sort_values(["n", "token"], ascending=[False, True]).head(top_k)
     return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
+
+
+def q_two_tier_scores(sf_dir: str):
+    """Adaptive two-tier scoring (M2c): cheap alpha-ratio for all rows,
+    expensive banded quality score only where cheap < cutoff, keep best.
+    (doc_id, cheap_score, final_score, rescored)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.two_tier import two_tier_scores
+
+    def cheap(text):
+        return _pc.fill_null(ts.alpha_ratio(text), 0.0).to_numpy(zero_copy_only=False)
+
+    return two_tier_scores(
+        _docs(sf_dir), cheap, ts.quality_scores, cutoff=TWO_TIER_CUTOFF
+    )
 
 
 # -- multimodal -------------------------------------------------------------

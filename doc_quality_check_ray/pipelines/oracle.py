@@ -48,23 +48,53 @@ SELECT conv_id, turn_idx, 'low_quality_text',
     )
 
 
-def sql_verdicts(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+def _sql_reason_case(cfg: ValidationConfig) -> str:
+    """Priority-ordered single-reason CASE (first failed check wins)."""
     ratio = sql_valid_char_ratio_expr("text")
-    return (
-        TRANSCRIPTS_CTE
-        + f"""
-SELECT conv_id, turn_idx, reason = 'OK' AS valid, reason FROM (
-  SELECT conv_id, turn_idx,
-    CASE
+    return f"""CASE
       WHEN text IS NULL OR trim(text) = '' THEN 'empty_turn'
       WHEN role IS NULL OR role NOT IN ({_roles_in(cfg)}) THEN 'invalid_role'
       WHEN (coalesce(role,'') = 'tool' AND tool IS NULL)
         OR (coalesce(role,'') <> 'tool' AND tool IS NOT NULL) THEN 'tool_role_consistency'
       WHEN {ratio} < {cfg.quality_ratio_threshold} THEN 'low_quality_text'
       ELSE 'OK'
-    END AS reason
+    END"""
+
+
+def sql_verdicts(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    return (
+        TRANSCRIPTS_CTE
+        + f"""
+SELECT conv_id, turn_idx, reason = 'OK' AS valid, reason FROM (
+  SELECT conv_id, turn_idx, {_sql_reason_case(cfg)} AS reason
   FROM transcripts
 )
+"""
+    )
+
+
+def sql_worst_turns(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of q_worst_turns: per conversation the worst turn (lowest
+    coalesced valid-char ratio; null/empty text sorts worst at -1) with its
+    priority verdict reason carried — the grouped-argmin-with-label rollup
+    (reference best-detection-per-page, ``app.py:469-487``)."""
+    ratio = sql_valid_char_ratio_expr("text")
+    return (
+        TRANSCRIPTS_CTE
+        + f""",
+_scored AS (
+  SELECT conv_id, turn_idx,
+         coalesce({ratio}, -1.0) AS score,
+         {_sql_reason_case(cfg)} AS reason
+  FROM transcripts
+),
+_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id ORDER BY score, turn_idx, reason) AS rn
+  FROM _scored
+)
+SELECT conv_id, turn_idx, round(score, 6) AS worst_score, reason
+FROM _r WHERE rn = 1
 """
     )
 
@@ -261,6 +291,21 @@ SELECT token, count(*) AS n FROM (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents WHERE trim(coalesce(text, '')) <> ''
 ) GROUP BY token ORDER BY n DESC, token LIMIT {top_k}
+"""
+
+
+def sql_two_tier_scores(cutoff: float) -> str:
+    """Twin of stages.two_tier two-tier scoring over documents: cheap =
+    coalesced alpha-ratio, expensive = banded quality score, keep best."""
+    ar = f"coalesce({ts.sql_alpha_ratio_expr('text')}, 0.0)"
+    q = ts.sql_quality_score_expr("text")
+    return f"""
+SELECT doc_id,
+       round(ar, 6) AS cheap_score,
+       round(CASE WHEN ar < {cutoff} THEN greatest(ar, q) ELSE ar END, 6)
+         AS final_score,
+       ar < {cutoff} AS rescored
+FROM (SELECT doc_id, {ar} AS ar, {q} AS q FROM documents)
 """
 
 

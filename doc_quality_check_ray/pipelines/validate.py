@@ -21,7 +21,11 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import DEFAULT_CONFIG, ValidationConfig
-from ..functions.rounding import pc_round_half_away, round_half_away_scalar
+from ..functions.rounding import (
+    pc_round_half_away,
+    round_half_away,
+    round_half_away_scalar,
+)
 from ..stages.exchange import hash_bucket_aggregate
 from ..sources.transcripts import derive_transcripts
 from ..stages.keys import (
@@ -323,6 +327,61 @@ def q_conversation_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG)
         return t.append_column("passed", pc.equal(t["n_bad_rows"], 0))
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def q_worst_turns(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-conversation grouped argmin *with carried label* — the reference's
+    top-1-per-page rollup that keeps the winning detection's name and score
+    (A3, ``app.py:469-487``): for each conversation, the turn with the lowest
+    coalesced valid-char ratio (null/empty text = -1.0, worst) and that
+    turn's priority verdict reason. Ties break on (turn_idx, reason).
+
+    Scale shape: per-batch local argmin (one candidate row per conversation
+    per batch) → conv-keyed hash-bucket exchange → per-bucket argmin merge.
+    Shuffle volume is candidates, not turns.
+    """
+    import pandas as pd
+
+    from ..functions.quality import valid_char_ratio
+    from ..stages.row_checks import verdict_batch
+
+    ds = derive_transcripts(sf_dir)
+
+    def _argmin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "turn_idx", "reason"], kind="mergesort")
+        return df.drop_duplicates("conv_id", keep="first")
+
+    def partial(t: pa.Table) -> pa.Table:
+        score = pc.fill_null(valid_char_ratio(t["text"]), -1.0)
+        reason = verdict_batch(t, cfg)["reason"]
+        df = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "score": score,
+                "reason": reason,
+            }
+        ).to_pandas()
+        return pa.Table.from_pandas(_argmin(df), preserve_index=False)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column("bucket", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = _argmin(g)[["conv_id", "turn_idx", "score", "reason"]].copy()
+        out["worst_score"] = round_half_away(out.pop("score").to_numpy(), 6)
+        return out[["conv_id", "turn_idx", "worst_score", "reason"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 def q_adjusted_scores(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):

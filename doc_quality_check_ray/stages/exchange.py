@@ -65,7 +65,9 @@ def hash_bucket_aggregate(
         return t.append_column("bucket", pa.array(_bucket_of(t, keys, num_buckets)))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        gb = g.groupby(keys, sort=False)
+        # dropna=False: null aggregation keys are real groups (DuckDB/Arrow
+        # semantics) — pandas' default would silently drop e.g. null-role rows
+        gb = g.groupby(keys, sort=False, dropna=False)
         pieces = []
         for alias, (col, fn) in aggs.items():
             s = gb.size() if fn == "count" else getattr(gb[col], fn)()
