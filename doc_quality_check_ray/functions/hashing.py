@@ -44,38 +44,67 @@ def shingle_hashes(flat_tokens: np.ndarray, offsets: np.ndarray, k: int = 3):
 
     Rows shorter than ``k`` contribute their single whole-row combined hash
     (so short docs still dedup). Returns (flat_shingles uint64, offsets).
+    Fully vectorized over the flat token array — per-row work is index
+    arithmetic, never a Python loop over tokens or shingles.
     """
     n_rows = len(offsets) - 1
     mults = np.array(
         [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9][:k], dtype=np.uint64
     )
     t = flat_tokens
-    out_parts: list[np.ndarray] = []
-    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
-    # vectorized across the flat array: shingle i uses tokens [i, i+k)
+    lengths = np.diff(offsets)
+
+    # full k-gram hashes at every flat position (position p uses tokens [p, p+k))
     if len(t) >= k:
         sh = np.zeros(len(t) - k + 1, dtype=np.uint64)
         for j in range(k):
-            sh ^= (t[j : len(t) - k + 1 + j] * mults[j])
+            sh ^= t[j : len(t) - k + 1 + j] * mults[j]
         sh = (sh >> np.uint64(1)) | np.uint64(1)  # avoid 0
     else:
         sh = np.zeros(0, dtype=np.uint64)
 
-    lengths = np.diff(offsets)
-    for i in range(n_rows):
-        lo, hi = offsets[i], offsets[i + 1]
-        if lengths[i] >= k:
-            row = sh[lo : hi - k + 1]
-        elif lengths[i] > 0:
-            acc = np.uint64(0x84222325)
-            for j in range(lo, hi):
-                acc = (acc ^ t[j]) * np.uint64(0x100000001B3) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            row = np.array([acc | np.uint64(1)], dtype=np.uint64)
-        else:
-            row = np.zeros(0, dtype=np.uint64)
-        out_parts.append(row)
-        out_offsets[i + 1] = out_offsets[i] + len(row)
-    return (np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint64)), out_offsets
+    # keep positions whose whole window lies inside one row (vectorized mask)
+    n_counts = np.maximum(lengths - k + 1, 0)  # k-gram count per long row
+    long_rows = lengths >= k
+    if sh.size:
+        pos = np.arange(len(sh))
+        row_of = np.searchsorted(offsets, pos, side="right") - 1
+        valid = pos + k <= offsets[row_of + 1]
+        long_flat = sh[valid]
+    else:
+        long_flat = sh
+
+    # short rows (0 < len < k): FNV-style fold of the row's tokens, done
+    # column-wise — at most k-1 tokens per row, so k-1 vector ops total
+    short_rows = (lengths > 0) & (lengths < k)
+    short_vals = np.zeros(int(short_rows.sum()), dtype=np.uint64)
+    if short_vals.size:
+        slo = offsets[:-1][short_rows]
+        slen = lengths[short_rows]
+        acc = np.full(len(slo), 0x84222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(k - 1):
+            has = slen > j
+            acc[has] = (acc[has] ^ t[slo[has] + j]) * prime
+        short_vals = acc | np.uint64(1)
+
+    out_counts = np.where(long_rows, n_counts, 0) + short_rows.astype(np.int64)
+    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    out = np.zeros(out_offsets[-1], dtype=np.uint64)
+    # scatter: long rows take their contiguous slice of long_flat, short rows
+    # their single value — placement indices built by repeat/cumsum, no loop
+    if long_flat.size:
+        long_starts = out_offsets[:-1][long_rows]
+        long_lens = n_counts[long_rows]
+        idx = np.repeat(long_starts, long_lens) + (
+            np.arange(long_lens.sum())
+            - np.repeat(np.cumsum(long_lens) - long_lens, long_lens)
+        )
+        out[idx] = long_flat
+    if short_vals.size:
+        out[out_offsets[:-1][short_rows]] = short_vals
+    return out, out_offsets
 
 
 def minhash_signatures(

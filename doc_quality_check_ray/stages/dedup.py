@@ -9,11 +9,12 @@ generalize to content dedup (SURVEY.md §2.8 D1-D3):
 - **exact**: fingerprint (md5) → hash-partitioned groupby → keep min id.
   Shuffles 16-byte fingerprints, never text.
 - **MinHash-LSH**: shingle → minhash → banded signatures → band-bucket
-  groupby → candidate pairs → exact-Jaccard verification. Candidate
-  verification broadcasts only the *candidate* docs' shingle sets (assumed
-  ≪ corpus; at cluster scale swap the driver collect for a hash-bucket join
-  keyed on doc_id).
-- **SimHash**: 64-bit sketches, 4×16-bit band buckets, Hamming verification.
+  groupby → candidate pairs → distributed pair-dedup → exact-Jaccard
+  verification via hash-bucket joins against the shingle table. No
+  data-proportional driver materialization anywhere; band-bucket pair
+  blowup is capped with LOGGED truncation.
+- **SimHash**: 64-bit sketches, 4×16-bit band buckets, in-reducer Hamming
+  verification, distributed pair-dedup.
 - **n-gram Jaccard**: exact all-pairs within a partition key (here
   ``source``) via ``groupby.map_groups`` — the brute-force baseline LSH
   recall is measured against.
@@ -22,6 +23,7 @@ generalize to content dedup (SURVEY.md §2.8 D1-D3):
 from __future__ import annotations
 
 import itertools
+import logging
 
 import numpy as np
 import pandas as pd
@@ -31,7 +33,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .exchange import hash_bucket_aggregate
-from ..functions.rounding import round_half_away, round_half_away_scalar
+from ..functions.rounding import round_half_away_scalar
 from ..functions.hashing import (
     band_hashes,
     hamming_distance,
@@ -76,30 +78,50 @@ def exact_dedup_groups(
 
 
 def exact_dedup_keep_first(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
 ) -> ray.data.Dataset:
     """The deduplicated dataset itself: first (min-id) row per content.
 
-    Broadcast semi-join on the surviving id set (small side = one id per
-    distinct content). For corpora where even that is large, switch to a
-    hash-bucket join on fingerprint.
+    One fingerprint-keyed hash-bucket shuffle: every row moves to the bucket
+    of its content fingerprint, each bucket keeps the min-id row per
+    fingerprint. Nothing data-proportional ever touches the driver (the
+    round-1 broadcast-id-set variant pulled one id per distinct content to
+    the driver — billions of ids at 100 TB). Null-text rows form one
+    fingerprint group (DuckDB ``md5(NULL)`` semantics) and keep their min-id
+    representative.
     """
-    import ray
+    import numpy as np
+    import polars as pl
 
-    keep = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_id"])
-    keep_ids = ray.put(set(r["keep_id"] for r in keep.take_all()))
+    def add_bucket(t: pa.Table) -> pa.Table:
+        fp = pa.array(md5_fingerprints(t[text_col].to_pylist()), pa.string())
+        t = t.append_column("__fp", fp)
+        h = pl.from_arrow(pa.table({"f": fp})).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
 
-    def keep_only(t: pa.Table) -> pa.Table:
-        ids = ray.get(keep_ids)
-        mask = pc.is_in(t[id_col], value_set=pa.array(sorted(ids)))
-        return t.filter(mask)
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        # null fingerprints (null text) compare equal here — one group
+        g = g.drop_duplicates("__fp", keep="first")
+        return g.drop(columns=["__fp", "__bucket"])
 
-    return ds.map_batches(keep_only, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(keep_first, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+logger = logging.getLogger(__name__)
 
 
 def _signature_batches(
@@ -121,12 +143,191 @@ def _signature_batches(
     )
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())[:max_bucket]
+def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """All id pairs within one band bucket, capped at ``max_bucket`` ids.
+
+    The cap bounds worst-case pair blowup on degenerate hot buckets (e.g. a
+    corpus of near-identical boilerplate); truncation is LOGGED, never
+    silent — dropped ids reduce recall and the operator says so.
+    """
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) > max_bucket:
+        logger.warning(
+            "LSH band bucket truncated: keeping %d of %d ids "
+            "(%d candidate ids dropped; raise max_bucket to trade memory for recall)",
+            max_bucket, len(ids), len(ids) - max_bucket,
+        )
+        ids = ids[:max_bucket]
     if len(ids) < 2:
         return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
     pairs = list(itertools.combinations(ids.tolist(), 2))
     return pd.DataFrame(pairs, columns=["a_id", "b_id"])
+
+
+def _dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed drop-duplicates on (a_id, b_id) — replaces the round-1
+    driver-side ``to_pandas().drop_duplicates()`` (a scale-killer when the
+    candidate set is data-proportional)."""
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pb"] = (
+            df["a_id"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ df["b_id"].to_numpy().astype(np.uint64)
+        ) % np.uint64(num_buckets)
+        df["__pb"] = df["__pb"].astype("int64")
+        return df
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a_id", "b_id"]).drop(columns="__pb")
+
+    return (
+        pairs.map_batches(bucketize, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
+def _shingle_rows(ds, text_col: str, id_col: str, k: int) -> ray.data.Dataset:
+    """(doc_id, sh large_list<uint64>) per document — the join payload for
+    distributed verification. Arrow throughout (nullable list columns survive
+    Ray block concatenation; pandas object columns of ndarrays do not)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks, offs = token_hashes(t[text_col])
+        sh, so = shingle_hashes(toks, offs, k=k)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[id_col], pa.int64()),
+                "sh": pa.LargeListArray.from_arrays(
+                    pa.array(so, pa.int64()), pa.array(sh, pa.uint64())
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SH_LIST = pa.large_list(pa.uint64())
+#: unified row shape for the verification joins (pairs and shingle payloads)
+_JOIN_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("kind", pa.int8()),
+        ("a_id", pa.int64()),
+        ("b_id", pa.int64()),
+        ("sh", _SH_LIST),
+    ]
+)
+_VERIFIED_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def _tagged(bucket, kind: int, a_id, b_id, sh) -> pa.Table:
+    n = len(bucket)
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, pa.int64()),
+            "kind": pa.array([kind] * n, pa.int8()),
+            "a_id": pc.cast(a_id, pa.int64()),
+            "b_id": pc.cast(b_id, pa.int64()),
+            "sh": sh if sh is not None else pa.nulls(n, _SH_LIST),
+        },
+        schema=_JOIN_SCHEMA,
+    )
+
+
+def _verify_pairs_distributed(
+    pairs: ray.data.Dataset,
+    shingle_ds: ray.data.Dataset,
+    threshold: float,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs as two hash-bucket
+    joins — pairs meet the a-side shingle sets in buckets keyed by a_id,
+    the half-joined rows meet the b-side sets in buckets keyed by b_id, and
+    the second reducer scores + filters. No driver materialization anywhere;
+    the shingle table is shuffled twice (proportional to corpus, like the
+    signature scan itself), candidates flow bucket-local.
+    """
+
+    def tag_pairs_a(df: pd.DataFrame) -> pa.Table:
+        a = pa.array(df["a_id"].to_numpy(), pa.int64())
+        b = pa.array(df["b_id"].to_numpy(), pa.int64())
+        return _tagged(df["a_id"].to_numpy() % num_buckets, 1, a, b, None)
+
+    def tag_sh(t: pa.Table, side: int) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        minus = pa.array(np.full(len(ids), -1, dtype=np.int64))
+        col = t["doc_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sh = t["sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        a_id, b_id = (col, minus) if side == 0 else (minus, col)
+        return _tagged(ids % num_buckets, 0, a_id, b_id, sh)
+
+    def join_a(g: pa.Table) -> pa.Table:
+        p = g.filter(pc.equal(g["kind"], 1))
+        if p.num_rows == 0:
+            return _JOIN_SCHEMA.empty_table()
+        srows = g.filter(pc.equal(g["kind"], 0))
+        lut = dict(zip(srows["a_id"].to_pylist(), srows["sh"].to_pylist()))
+        a_ids = p["a_id"].to_pylist()
+        b_ids = p["b_id"].to_pylist()
+        return _tagged(
+            np.asarray(b_ids, dtype=np.int64) % num_buckets,
+            1,
+            pa.array(a_ids, pa.int64()),
+            pa.array(b_ids, pa.int64()),
+            pa.array([lut.get(a) for a in a_ids], _SH_LIST),
+        )
+
+    half = (
+        pairs.map_batches(tag_pairs_a, batch_format="pandas")
+        .union(shingle_ds.map_batches(lambda t: tag_sh(t, 0), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_a, batch_format="pyarrow")
+    )
+
+    def join_b(g: pa.Table) -> pa.Table:
+        p = g.filter(pc.equal(g["kind"], 1))
+        if p.num_rows == 0:
+            return _VERIFIED_SCHEMA.empty_table()
+        srows = g.filter(pc.equal(g["kind"], 0))
+        lut = dict(zip(srows["b_id"].to_pylist(), srows["sh"].to_pylist()))
+        out_a, out_b, out_j = [], [], []
+        for a, b, a_sh in zip(
+            p["a_id"].to_pylist(), p["b_id"].to_pylist(), p["sh"].to_pylist()
+        ):
+            b_sh = lut.get(b)
+            if a_sh is None or b_sh is None:
+                continue
+            sim = jaccard(
+                np.asarray(a_sh, dtype=np.uint64), np.asarray(b_sh, dtype=np.uint64)
+            )
+            if sim >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round_half_away_scalar(sim, 6))
+        return pa.table(
+            {
+                "a_id": pa.array(out_a, pa.int64()),
+                "b_id": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            },
+            schema=_VERIFIED_SCHEMA,
+        )
+
+    return (
+        half.union(
+            shingle_ds.map_batches(lambda t: tag_sh(t, 1), batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(join_b, batch_format="pyarrow")
+    )
 
 
 def minhash_lsh_pairs(
@@ -137,11 +338,17 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int = 256,
 ) -> pa.Table:
     """Near-duplicate pairs (a_id < b_id, jaccard ≥ threshold).
 
-    band collisions → candidates → exact verification. Deterministic output
-    (seeded permutations); jaccard rounded to 6 decimals.
+    shingle → minhash → banded signatures → band-bucket exchange →
+    candidate pairs → distributed pair-dedup → distributed exact-Jaccard
+    verification (hash-bucket joins against the shingle table). Every stage
+    is a Dataset transform; the only driver collect is the final verified
+    result (bounded by the true near-dup count). Band-bucket pair blowup is
+    capped at ``max_bucket`` ids per bucket with logged truncation.
+    Deterministic (seeded permutations); jaccard rounded to 6 decimals.
     """
     band_rows = ds.map_batches(
         lambda t: _signature_batches(t, text_col, id_col, num_perm, bands, shingle_k),
@@ -149,8 +356,6 @@ def minhash_lsh_pairs(
         zero_copy_batch=True,
     )
 
-    # single-int bucket exchange over (band_id, band_hash); pair generation
-    # runs per bucket with a local pandas groupby (see stages/exchange.py)
     def bucketize(t: pa.Table) -> pa.Table:
         b = (t["band_hash"].to_numpy(zero_copy_only=False) % np.uint64(256)).astype(
             np.int64
@@ -159,7 +364,7 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = [
-            _bucket_pairs(sub)
+            _bucket_pairs(sub, max_bucket)
             for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
         ]
         outs = [o for o in outs if len(o)]
@@ -169,62 +374,23 @@ def minhash_lsh_pairs(
             )
         return pd.concat(outs, ignore_index=True).drop_duplicates(["a_id", "b_id"])
 
-    pairs = (
+    cand = (
         band_rows.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["a_id", "b_id"]).reset_index(drop=True)
-    if len(pairs) == 0:
+    verified = _verify_pairs_distributed(
+        _dedup_pairs(cand),
+        _shingle_rows(ds, text_col, id_col, shingle_k),
+        threshold,
+    ).to_pandas()
+    if len(verified) == 0:
         return pa.table(
             {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-
-    # exact verification on the candidate subset only
-    cand_ids = sorted(set(pairs["a_id"]) | set(pairs["b_id"]))
-    shingles = _collect_shingles(ds, cand_ids, text_col, id_col, shingle_k)
-    sims = np.array(
-        [jaccard(shingles[a], shingles[b]) for a, b in zip(pairs["a_id"], pairs["b_id"])]
-    )
-    keep = sims >= threshold
-    out = pairs[keep].reset_index(drop=True)
-    return pa.table(
-        {
-            "a_id": pa.array(out["a_id"].astype("int64")),
-            "b_id": pa.array(out["b_id"].astype("int64")),
-            "jaccard": pa.array(round_half_away(sims[keep], 6), pa.float64()),
-        }
-    )
-
-
-def _collect_shingles(ds, ids, text_col, id_col, k) -> dict[int, np.ndarray]:
-    """Shingle sets for a (small) id set, computed distributed then collected."""
-    import ray
-
-    idset = ray.put(set(int(i) for i in ids))
-
-    def only(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(sorted(ray.get(idset))))
-        hit = t.filter(mask)
-        toks, offs = token_hashes(hit[text_col])
-        sh, sh_offs = shingle_hashes(toks, offs, k=k)
-        return pa.table(
-            {
-                id_col: hit[id_col],
-                "shingles": pa.array(
-                    [sh[sh_offs[i]: sh_offs[i + 1]].tolist() for i in range(len(hit))],
-                    pa.list_(pa.uint64()),
-                ),
-            }
-        )
-
-    out = {}
-    for row in ds.map_batches(only, batch_format="pyarrow").take_all():
-        out[int(row[id_col])] = np.asarray(row["shingles"], dtype=np.uint64)
-    return out
+    verified = verified.sort_values(["a_id", "b_id"], ignore_index=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -245,17 +411,65 @@ def simhash_sketches(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_EMPTY_SIMHASH_PAIRS = pd.DataFrame(
+    {
+        "a_id": pd.Series(dtype="int64"),
+        "b_id": pd.Series(dtype="int64"),
+        "hamming": pd.Series(dtype="int64"),
+    }
+)
+
+
+def _simhash_bucket_pairs(
+    g: pd.DataFrame, max_hamming: int, max_bucket: int
+) -> pd.DataFrame:
+    """Verified (a_id, b_id, hamming ≤ max_hamming) pairs within one chunk
+    bucket — Hamming computed here, vectorized over the pair grid."""
+    g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    if len(g) > max_bucket:
+        logger.warning(
+            "SimHash chunk bucket truncated: keeping %d of %d docs "
+            "(recall guarantee capped; raise max_bucket to restore it)",
+            max_bucket, len(g),
+        )
+        g = g.head(max_bucket)
+    if len(g) < 2:
+        return _EMPTY_SIMHASH_PAIRS
+    ids = g["doc_id"].to_numpy()
+    hs = g["simhash"].to_numpy().astype(np.uint64)
+    r, c = np.triu_indices(len(ids), k=1)
+    d = hamming_distance(hs[r], hs[c])
+    keep = d <= max_hamming
+    return pd.DataFrame(
+        {
+            "a_id": ids[r[keep]].astype("int64"),
+            "b_id": ids[c[keep]].astype("int64"),
+            "hamming": d[keep].astype("int64"),
+        }
+    )
+
+
 def simhash_pairs(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 256,
 ) -> pa.Table:
     """Near-dup pairs by SimHash: 4×16-bit band buckets → Hamming verify.
 
     A pair within Hamming distance ≤ 3 of 64 bits must agree exactly on at
     least one of 4 disjoint 16-bit chunks (pigeonhole), so chunk-bucketing
-    has perfect recall for the verified distance."""
+    has perfect recall for the verified distance **provided no chunk bucket
+    exceeds ``max_bucket`` docs** — larger buckets are truncated with a
+    logged warning (recall is then capped; raise ``max_bucket`` to restore
+    the guarantee at the cost of quadratic pair work in that bucket).
+
+    Hamming distance is computed inside the bucket reducers (both hashes are
+    present there); pair dedup across the 4 chunk buckets is a distributed
+    hash-bucket drop-duplicates. The only driver collect is the final
+    verified pair set.
+    """
     sk = simhash_sketches(ds, text_col, id_col)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -280,57 +494,27 @@ def simhash_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = [
-            _simhash_bucket_pairs(sub)
+            _simhash_bucket_pairs(sub, max_hamming, max_bucket)
             for _, sub in g.groupby(["chunk_id", "chunk"], sort=False)
         ]
         outs = [o for o in outs if len(o)]
         if not outs:
-            return _simhash_bucket_pairs(g.iloc[:0])
+            return _EMPTY_SIMHASH_PAIRS
         return pd.concat(outs, ignore_index=True)
 
-    cand = (
+    verified = _dedup_pairs(
         sk.map_batches(explode, batch_format="pyarrow")
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    pairs = cand.to_pandas()
-    if len(pairs) == 0:
+    ).to_pandas()
+    if len(verified) == 0:
         return pa.table(
             {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int64())}
         )
-    pairs = pairs.drop_duplicates(["a_id", "b_id"]).reset_index(drop=True)
-    d = hamming_distance(
-        pairs["a_hash"].to_numpy().astype(np.uint64),
-        pairs["b_hash"].to_numpy().astype(np.uint64),
-    )
-    keep = d <= max_hamming
-    out = pairs[keep]
-    return pa.table(
-        {
-            "a_id": pa.array(out["a_id"].astype("int64")),
-            "b_id": pa.array(out["b_id"].astype("int64")),
-            "hamming": pa.array(d[keep].astype("int64")),
-        }
-    )
-
-
-def _simhash_bucket_pairs(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
-    g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
-    if len(g) < 2:
-        return pd.DataFrame(
-            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
-             "a_hash": pd.Series(dtype="uint64"), "b_hash": pd.Series(dtype="uint64")}
-        )
-    ids = g["doc_id"].to_numpy()
-    hs = g["simhash"].to_numpy()
-    rows = [
-        (ids[i], ids[j], hs[i], hs[j])
-        for i in range(len(ids))
-        for j in range(i + 1, len(ids))
-    ]
-    return pd.DataFrame(rows, columns=["a_id", "b_id", "a_hash", "b_hash"])
+    verified = verified.sort_values(["a_id", "b_id"], ignore_index=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

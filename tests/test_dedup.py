@@ -55,6 +55,25 @@ def test_exact_dedup_groups_and_keep_first():
     assert 109 not in set(kept.doc_id) and 10 in set(kept.doc_id)
 
 
+def test_keep_first_null_text_rows_form_one_group():
+    """Null-text docs are one fingerprint group (md5(NULL) semantics): the
+    min-id representative survives, all columns intact, no driver collect."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["a", None, "a", None, "b"], pa.string()),
+            "source": pa.array(["s0"] * 5, pa.string()),
+        }
+    )
+    kept = (
+        exact_dedup_keep_first(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(kept.doc_id) == [1, 2, 5]
+    assert set(kept.columns) == {"doc_id", "text", "source"}
+
+
 def test_minhash_lsh_finds_planted_pairs():
     pairs = minhash_lsh_pairs(_corpus(), threshold=0.6).to_pandas()
     found = set(zip(pairs.a_id, pairs.b_id))
