@@ -190,47 +190,35 @@ def _process_group(
     with atomic_output_dir(dst) as tmp:
         ds.write_parquet(str(tmp), partition_cols=["kind"])
     n_viol = sum(pq.read_metadata(f).num_rows for f in dst.glob("kind=v/*.parquet"))
-    n_rows = sum(s.n_rows for s in _shard_sketches(dst, cfg))
+    # tree reduce, level 1: this shard's per-batch sketches merge into ONE
+    # sketch inside a Ray task; the driver later merges O(shards) of these
+    # (never O(batches) — at 10^12 rows that is millions of JSON sketches)
+    shard_sketch = ray.get(_merge_shard_sketch_task.remote(str(dst), cfg))
     return {
         "shard_id": group_id,
         "input_files": files,
-        "n_rows": int(n_rows),
+        "n_rows": int(shard_sketch["n_rows"]) if shard_sketch else 0,
         "n_row_violations": int(n_viol),
+        "sketch": shard_sketch,
         "wall_sec": round(time.perf_counter() - t0, 3),
         "group_size": len(files),
         "engine_version": "0.1.0",
     }
 
 
-def _shard_sketches(shard_dir: Path, cfg: ValidationConfig) -> list:
-    """Deserialize the per-batch sketch rows of one shard (single threaded
-    C++ scan over the many small per-block files)."""
+@ray.remote
+def _merge_shard_sketch_task(shard_dir: str, cfg: ValidationConfig) -> dict | None:
+    """Merge one shard's kind=s batch-sketch rows into a single sketch dict."""
     import json
 
     import pyarrow.dataset as pads
 
-    files = sorted(str(p) for p in shard_dir.glob("kind=s/*.parquet"))
+    files = sorted(str(p) for p in Path(shard_dir).glob("kind=s/*.parquet"))
     if not files:
-        return []
+        return None
     col = pads.dataset(files, format="parquet").to_table(columns=["sketch"])["sketch"]
-    return [_sketch_from_dict(json.loads(s), cfg) for s in col.to_pylist()]
-
-
-def _sketch_from_dict(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
-    roles = dict(zip(d["role_keys"], (int(c) for c in d["role_counts"])))
-    return StatsSnapshot(
-        n_rows=int(d["n_rows"]),
-        role_counts=roles,
-        length_edges=tuple(float(e) for e in cfg.length_hist_buckets),
-        length_hist=[int(x) for x in d["hist"]],
-        tdigest_means=d["td_means"],
-        tdigest_weights=d["td_weights"],
-        ts_min=d["ts_min"],
-        ts_max=d["ts_max"],
-        ts_tdigest_means=d.get("ts_td_means", []),
-        ts_tdigest_weights=d.get("ts_td_weights", []),
-        max_text_len=d.get("max_len"),
-        hll_b64=d.get("hll"),
+    return drift_mod.merge_sketch_dicts(
+        [json.loads(s) for s in col.to_pylist()], cfg
     )
 
 
@@ -427,16 +415,43 @@ def _phase2_global(
             for f in (gtmp / "key_findings" / "finding=gap").glob("*.parquet")
         )
         est = merged.n_convs_estimate()
+        # batch_error poison-pill rows emit no 'p'/'q' partials, so they are
+        # invisible to partition verdicts — count them explicitly and fail
+        # the run summary when any batch was lost (ADVICE r1: a run must not
+        # report n_partitions_failed=0 while entire batches errored out)
+        n_batch_errors, n_error_rows = _count_batch_errors(out)
         summary = {
             "n_rows": merged.n_rows,
             "n_convs_estimate": int(est) if est is not None else None,
             "n_duplicate_keys": int(n_dup),
             "n_gap_conversations": int(n_gap),
             "n_partitions_failed": int((~pv["passed"]).sum()),
+            "n_batch_errors": int(n_batch_errors),
+            "n_rows_in_errored_batches": int(n_error_rows),
             "column_stats_gate": stats_gate,
             "drift": drift_info,
+            "passed": bool(
+                (~pv["passed"]).sum() == 0
+                and n_batch_errors == 0
+                and stats_gate["passed"]
+            ),
         }
     return summary
+
+
+def _count_batch_errors(out: Path) -> tuple[int, int]:
+    """(n batch_error rows, total rows lost in them) across all shards."""
+    import pyarrow.dataset as pads
+
+    files = _shard_dirs(out, "v")
+    if not files:
+        return 0, 0
+    t = pads.dataset(files, format="parquet").to_table(
+        columns=["check_id", "cnt"],
+        filter=pads.field("check_id") == "batch_error",
+    )
+    n_rows_lost = pc.sum(t["cnt"]).as_py() or 0
+    return t.num_rows, int(n_rows_lost)
 
 
 
@@ -466,58 +481,28 @@ def _column_stats_gate(snap: StatsSnapshot, cfg: ValidationConfig) -> dict:
 
 
 def _merge_sketches(out: Path, cfg: ValidationConfig) -> StatsSnapshot:
-    from ..functions.sketches import Histogram, TDigest
-
-    import base64
-
-    from ..functions.sketches import HyperLogLog
-
-    roles: dict[str, int] = {}
-    hist = Histogram.empty(cfg.length_hist_buckets)
-    td = TDigest(cfg.tdigest_compression)
-    ts_td = TDigest(cfg.tdigest_compression)
-    hll = HyperLogLog()
-    n, ts_min, ts_max = 0, None, None
-    max_len = None
-    sketches = []
+    """Tree reduce, level 2: merge the per-shard sketches (one per shard,
+    pre-merged inside tasks by :func:`_merge_shard_sketch_task`) — the driver
+    loop is O(shards). Shards from older outputs without a manifest sketch
+    fall back to an in-task merge of their batch rows.
+    """
+    manifest = RunManifest(out)
+    dicts = []
+    fallback_refs = []
     for d in sorted(out.glob("partials/shard=*")):
-        sketches.extend(_shard_sketches(d, cfg))
-    for s in sketches:
-        ts_td = ts_td.merge(s.ts_tdigest())
-        if s.hll_b64:
-            import numpy as np
-
-            np.maximum(
-                hll.registers,
-                np.frombuffer(base64.b64decode(s.hll_b64), dtype=np.uint8),
-                out=hll.registers,
-            )
-        if s.max_text_len is not None:
-            max_len = s.max_text_len if max_len is None else max(max_len, s.max_text_len)
-        n += s.n_rows
-        for k, c in s.role_counts.items():
-            roles[k] = roles.get(k, 0) + c
-        hist = hist.merge(s.length_histogram())
-        td = td.merge(s.tdigest())
-        if s.ts_min:
-            ts_min = s.ts_min if ts_min is None else min(ts_min, s.ts_min)
-        if s.ts_max:
-            ts_max = s.ts_max if ts_max is None else max(ts_max, s.ts_max)
-    means, weights = td.to_arrays()
-    return StatsSnapshot(
-        n_rows=n,
-        role_counts=roles,
-        length_edges=tuple(float(e) for e in cfg.length_hist_buckets),
-        length_hist=hist.to_list(),
-        tdigest_means=means,
-        tdigest_weights=weights,
-        ts_min=ts_min,
-        ts_max=ts_max,
-        ts_tdigest_means=ts_td.to_arrays()[0],
-        ts_tdigest_weights=ts_td.to_arrays()[1],
-        max_text_len=max_len,
-        hll_b64=base64.b64encode(hll.registers.tobytes()).decode(),
-    )
+        sid = d.name.removeprefix("shard=")
+        try:
+            entry = manifest.shard_entry(sid)
+            sk = entry.get("sketch")
+        except FileNotFoundError:
+            sk = None
+        if sk:
+            dicts.append(sk)
+        else:
+            fallback_refs.append(_merge_shard_sketch_task.remote(str(d), cfg))
+    dicts.extend(s for s in ray.get(fallback_refs) if s)
+    merged = drift_mod.merge_sketch_dicts(dicts, cfg)
+    return drift_mod.snapshot_from_sketch(merged, cfg)
 
 
 def run_validation(

@@ -88,15 +88,18 @@ def sketch_partials(
     )
 
 
-def build_snapshot(
-    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
-) -> StatsSnapshot:
-    """Phase B: stream → per-batch sketches → driver merge (tiny rows only)."""
+def merge_sketch_dicts(dicts, cfg: ValidationConfig) -> dict:
+    """Merge N batch-sketch dicts into one (same shape as ``_batch_sketch``).
+
+    Every field is mergeable: counts add, histograms add, t-digests merge,
+    HLL registers max, min/max fold — so merging can happen at any level of
+    a reduction tree (inside tasks per shard, then once across shards on the
+    driver) and yields the same result as a flat merge.
+    """
     import base64
 
     from ..functions.sketches import HyperLogLog
 
-    rows = sketch_partials(ds, cfg).take_all()
     roles: dict[str, int] = {}
     hist = Histogram.empty(cfg.length_hist_buckets)
     td = TDigest(cfg.tdigest_compression)
@@ -104,8 +107,8 @@ def build_snapshot(
     hll = HyperLogLog()
     n, ts_min, ts_max = 0, None, None
     max_len = None
-    for r in rows:
-        n += r["n_rows"]
+    for r in dicts:
+        n += int(r["n_rows"])
         if r.get("hll"):
             np.maximum(
                 hll.registers,
@@ -117,9 +120,13 @@ def build_snapshot(
         for k, c in zip(r["role_keys"], r["role_counts"]):
             roles[k] = roles.get(k, 0) + int(c)
         hist = hist.merge(Histogram(cfg.length_hist_buckets, np.asarray(r["hist"])))
-        td = td.merge(TDigest.from_arrays(r["td_means"], r["td_weights"], cfg.tdigest_compression))
+        td = td.merge(
+            TDigest.from_arrays(r["td_means"], r["td_weights"], cfg.tdigest_compression)
+        )
         ts_td = ts_td.merge(
-            TDigest.from_arrays(r["ts_td_means"], r["ts_td_weights"], cfg.tdigest_compression)
+            TDigest.from_arrays(
+                r["ts_td_means"], r["ts_td_weights"], cfg.tdigest_compression
+            )
         )
         if r["ts_min"] is not None:
             ts_min = r["ts_min"] if ts_min is None else min(ts_min, r["ts_min"])
@@ -127,20 +134,60 @@ def build_snapshot(
             ts_max = r["ts_max"] if ts_max is None else max(ts_max, r["ts_max"])
     means, weights = td.to_arrays()
     ts_means, ts_weights = ts_td.to_arrays()
+    return {
+        "hll": base64.b64encode(hll.registers.tobytes()).decode(),
+        "n_rows": int(n),
+        "role_keys": list(roles.keys()),
+        "role_counts": list(roles.values()),
+        "max_len": max_len,
+        "hist": hist.to_list(),
+        "td_means": means,
+        "td_weights": weights,
+        "ts_td_means": ts_means,
+        "ts_td_weights": ts_weights,
+        "ts_min": ts_min,
+        "ts_max": ts_max,
+    }
+
+
+def snapshot_from_sketch(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
+    roles = dict(zip(d["role_keys"], (int(c) for c in d["role_counts"])))
     return StatsSnapshot(
-        n_rows=int(n),
+        n_rows=int(d["n_rows"]),
         role_counts=roles,
         length_edges=tuple(float(e) for e in cfg.length_hist_buckets),
-        length_hist=hist.to_list(),
-        tdigest_means=means,
-        tdigest_weights=weights,
-        ts_min=ts_min,
-        ts_max=ts_max,
-        ts_tdigest_means=ts_means,
-        ts_tdigest_weights=ts_weights,
-        max_text_len=max_len,
-        hll_b64=base64.b64encode(hll.registers.tobytes()).decode(),
+        length_hist=[int(x) for x in d["hist"]],
+        tdigest_means=d["td_means"],
+        tdigest_weights=d["td_weights"],
+        ts_min=d["ts_min"],
+        ts_max=d["ts_max"],
+        ts_tdigest_means=d.get("ts_td_means", []),
+        ts_tdigest_weights=d.get("ts_td_weights", []),
+        max_text_len=d.get("max_len"),
+        hll_b64=d.get("hll"),
     )
+
+
+def build_snapshot(
+    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> StatsSnapshot:
+    """Phase B: stream → per-batch sketches → TREE merge.
+
+    A distributed reduce level (64 sketch rows → 1 inside tasks) bounds the
+    driver's final merge at O(batches/64) — at 10^12 rows the driver never
+    loops over millions of per-batch sketches.
+    """
+
+    def reduce_level(t: pa.Table) -> pa.Table:
+        merged = merge_sketch_dicts(t.to_pylist(), cfg)
+        return pa.table({k: [v] for k, v in merged.items()})
+
+    rows = (
+        sketch_partials(ds, cfg)
+        .map_batches(reduce_level, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    return snapshot_from_sketch(merge_sketch_dicts(rows, cfg), cfg)
 
 
 class DriftChecker:

@@ -34,6 +34,29 @@ def test_udf_exception_becomes_batch_error_row(monkeypatch):
     assert row["cnt"] == table.num_rows  # rows affected are accounted for
 
 
+def test_batch_errors_surface_in_summary_counts(tmp_path):
+    """Errored batches emit no p/q partials, so partition verdicts cannot
+    see them — _count_batch_errors must surface them for the run summary."""
+    import pyarrow.parquet as pq
+
+    table, _ = synth_transcripts(n_convs=5)
+
+    def boom(t, cfg):
+        raise ValueError("synthetic kernel failure")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(R, "_fused_phase1_batch_inner", boom):
+        err_rows = R._fused_phase1_batch(table, DEFAULT_CONFIG)
+    vdir = tmp_path / "partials" / "shard=00000" / "kind=v"
+    vdir.mkdir(parents=True)
+    pq.write_table(err_rows.drop_columns(["kind"]), vdir / "part-0.parquet")
+
+    n_err, n_lost = R._count_batch_errors(tmp_path)
+    assert n_err == 1
+    assert n_lost == table.num_rows
+
+
 def test_missing_column_batches_flow_through():
     # missing 'tool' column arrives as nulls after schema unification:
     # rows must flag tool_role_consistency for role=tool, not crash
