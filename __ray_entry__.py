@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_cosine_near_dup": D.q_cosine_near_dup,
         "d_lsh_near_dup": D.q_lsh_near_dup,
         "d_ivf_knn": D.q_ivf_knn,
+        # driver-visible recall of every approximate operator vs its exact twin
+        "d_minhash_recall": D.q_minhash_recall,
+        "d_simhash_recall": D.q_simhash_recall,
+        "d_lsh_recall": D.q_lsh_recall,
+        "d_ivf_recall": D.q_ivf_recall,
         "t_token_stats": D.q_token_stats,
         "t_langid": D.q_langid,
         "t_fingerprints": D.q_fingerprints,

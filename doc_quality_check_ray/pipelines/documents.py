@@ -157,14 +157,84 @@ def q_top_terms(sf_dir: str, top_k: int = 50):
         )
         return g
 
-    counts = hash_bucket_aggregate(
+    merged = hash_bucket_aggregate(
         _docs(sf_dir).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["token"],
         {"n": ("n", "sum")},
         num_buckets=16,
-    ).to_pandas()
+    )
+
+    # per-block local top-k BEFORE the driver collect: after the exchange
+    # each token's global count lives in exactly one block, so any element
+    # of the global top-k is also top-k within its block (at most k-1
+    # tokens beat it anywhere) — pruning to k per block is exact. The
+    # driver sees ≤ k × n_blocks rows, never the full vocabulary.
+    def prune(df):
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(top_k)
+
+    counts = merged.map_batches(prune, batch_format="pandas").to_pandas()
     counts = counts.sort_values(["n", "token"], ascending=[False, True]).head(top_k)
     return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
+
+
+def _recall_row(exact: set, approx: set) -> pa.Table:
+    """(n_exact, n_approx, n_hit, recall) — recall of an approximate pair
+    set against its exact ground truth (1.0 when nothing to find)."""
+    hit = len(exact & approx)
+    recall = hit / len(exact) if exact else 1.0
+    return pa.table(
+        {
+            "n_exact": pa.array([len(exact)], pa.int64()),
+            "n_approx": pa.array([len(approx)], pa.int64()),
+            "n_hit": pa.array([hit], pa.int64()),
+            "recall": pa.array([round(recall, 6)], pa.float64()),
+        }
+    )
+
+
+def _pair_set(t: pa.Table) -> set:
+    return set(zip(t["a_id"].to_pylist(), t["b_id"].to_pylist()))
+
+
+def q_minhash_recall(sf_dir: str):
+    """Recall of MinHash-LSH near-dup pairs vs exact all-pairs Jaccard at
+    the same threshold (driver-visible accuracy of the sketch path; the
+    exact side is the documented query-scale brute force)."""
+    from ..stages.dedup import jaccard_pairs_brute
+
+    exact = jaccard_pairs_brute(_docs(sf_dir), threshold=0.7)
+    approx = _pair_set(minhash_lsh_pairs(_docs(sf_dir), threshold=0.7))
+    return _recall_row(exact, approx)
+
+
+def q_simhash_recall(sf_dir: str):
+    """Recall of chunk-bucketed SimHash pairs vs exact all-pairs Hamming —
+    pigeonhole guarantees 1.0 while no chunk bucket overflows max_bucket."""
+    from ..stages.dedup import hamming_pairs_brute
+
+    exact = hamming_pairs_brute(_docs(sf_dir), max_hamming=3)
+    approx = _pair_set(simhash_pairs(_docs(sf_dir), max_hamming=3))
+    return _recall_row(exact, approx)
+
+
+def q_lsh_recall(sf_dir: str):
+    """Recall of hyperplane-LSH cosine near-dup pairs vs the exact
+    blocked-matmul baseline at the same threshold."""
+    exact = _pair_set(cosine_near_dup_pairs(_embs(sf_dir), threshold=COSINE_THRESHOLD))
+    approx = _pair_set(lsh_bucket_near_dup(_embs(sf_dir), threshold=COSINE_THRESHOLD))
+    return _recall_row(exact, approx)
+
+
+def q_ivf_recall(sf_dir: str):
+    """Recall of IVF approximate kNN vs exact brute-force kNN (fraction of
+    true (query, neighbor) edges recovered)."""
+
+    def edges(t: pa.Table) -> set:
+        return set(zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist()))
+
+    exact = edges(knn_brute_force(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K))
+    approx = edges(ivf_knn(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K))
+    return _recall_row(exact, approx)
 
 
 def q_two_tier_scores(sf_dir: str):

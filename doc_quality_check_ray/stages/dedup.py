@@ -522,6 +522,47 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def jaccard_pairs_brute(
+    ds: ray.data.Dataset,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> set[tuple[int, int]]:
+    """Corpus-wide exact all-pairs shingle Jaccard ≥ threshold — the
+    quadratic ground truth the LSH recall queries measure against.
+    Query-scale only (collects every shingle set); the scale path is
+    :func:`minhash_lsh_pairs`."""
+    rows = _shingle_rows(ds, text_col, id_col, shingle_k).take_all()
+    ids = [int(r["doc_id"]) for r in rows]
+    sets = [np.unique(np.asarray(r["sh"], dtype=np.uint64)) for r in rows]
+    out = set()
+    order = np.argsort(ids)
+    for x in range(len(order)):
+        for y in range(x + 1, len(order)):
+            i, j = order[x], order[y]
+            if jaccard(sets[i], sets[j]) >= threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def hamming_pairs_brute(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> set[tuple[int, int]]:
+    """Corpus-wide exact all-pairs SimHash Hamming ≤ max_hamming (vectorized
+    pair grid) — ground truth for the SimHash recall query. Query-scale only."""
+    sk = simhash_sketches(ds, text_col, id_col).to_pandas().sort_values(id_col)
+    ids = sk[id_col].to_numpy()
+    hs = sk["simhash"].to_numpy().astype(np.uint64)
+    r, c = np.triu_indices(len(ids), k=1)
+    d = hamming_distance(hs[r], hs[c])
+    keep = d <= max_hamming
+    return set(zip(ids[r[keep]].tolist(), ids[c[keep]].tolist()))
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.5,

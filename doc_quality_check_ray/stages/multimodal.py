@@ -60,7 +60,15 @@ class FakeImageCodec:
         self.max_w, self.max_h = max_size
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n_bytes = pc.binary_length(t["payload"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = pc.binary_length(t["payload"])
+        # null payloads propagate as null dims (the SQL twin's strlen(NULL)
+        # semantics) — computing on the raw NaN would produce garbage ints
+        null_mask = pc.is_null(nb).to_numpy(zero_copy_only=False)
+        n_bytes = (
+            pc.fill_null(pc.cast(nb, pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         width = n_bytes % 640 + 1
         height = (n_bytes * 7) % 480 + 1
         # aspect-preserving downscale guard (content_extraction.py:15-44 analog)
@@ -68,9 +76,13 @@ class FakeImageCodec:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_bytes": pa.array(n_bytes, pa.int64()),
-                "width": pa.array((width * scale).astype(np.int64), pa.int64()),
-                "height": pa.array((height * scale).astype(np.int64), pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64(), mask=null_mask),
+                "width": pa.array(
+                    (width * scale).astype(np.int64), pa.int64(), mask=null_mask
+                ),
+                "height": pa.array(
+                    (height * scale).astype(np.int64), pa.int64(), mask=null_mask
+                ),
             }
         )
 
@@ -89,15 +101,23 @@ def decode_stage(
     ds: ray.data.Dataset,
     codec=FakeImageCodec,
     batch_size: int = 256,  # small: payloads may be MB-scale each
-    concurrency: int = 2,
+    concurrency: tuple[int, int] | int | None = None,
     num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
     """The actor-pool decode stage (T1 pattern, ``app.py:13-105``).
 
-    ``concurrency × num_cpus`` is sized to leave CPUs for the read/write
-    stages — a pool that reserves every core serializes the pipeline
-    (SURVEY.md §4.2 actor-pool sizing).
+    The pool AUTOSCALES ``(2, N)`` with N sized from the cluster's CPUs so
+    the stage is never the bottleneck by construction (a fixed pool of 2 was
+    the slowest stage at 32 CPUs in round 1), while ``num_cpus`` per actor
+    still leaves scheduler room for the read/write stages — a pool whose
+    reservations cover every core serializes the pipeline (SURVEY.md §4.2).
     """
+    if concurrency is None:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+        hi = int(max(2, min(16, (cpus - 2) / max(num_cpus, 0.25))))
+        concurrency = (2, hi)
     return ds.map_batches(
         codec,
         batch_format="pyarrow",

@@ -96,6 +96,21 @@ def test_simhash_finds_exact_dup():
     assert d == 0
 
 
+def test_recall_queries_measure_against_exact_twins(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import (
+        q_minhash_recall,
+        q_simhash_recall,
+    )
+
+    mh = q_minhash_recall(sf_dir).to_pylist()[0]
+    assert mh["n_hit"] <= mh["n_exact"] and 0.0 <= mh["recall"] <= 1.0
+    # planted near-dups are high-jaccard: 16-band LSH must find them all
+    assert mh["recall"] == 1.0
+    sh = q_simhash_recall(sf_dir).to_pylist()[0]
+    # pigeonhole guarantee at hamming<=3 with no overflowing buckets
+    assert sh["recall"] == 1.0
+
+
 def test_ngram_jaccard_within_groups():
     # planted pairs share doc_id % 3 → same source group
     pairs = ngram_jaccard_pairs(_corpus(), threshold=0.5).to_pandas()
