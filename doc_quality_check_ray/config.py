@@ -31,6 +31,16 @@ class ValidationConfig:
     """
 
     # Row checks -----------------------------------------------------------
+    #: enabled row checks, by registry id (stages/row_checks.py
+    #: ROW_CHECK_REGISTRY). Adding a check = register_row_check(...) + its id
+    #: here — engine stage and SQL oracle both derive from the registry
+    #: (the reference's zero-code config extension surface, config.json:2-57).
+    enabled_row_checks: tuple[str, ...] = (
+        "empty_turn",
+        "invalid_role",
+        "tool_role_consistency",
+        "low_quality_text",
+    )
     valid_roles: tuple[str, ...] = ("user", "assistant", "tool")
     #: fraction of [0-9A-Za-z space] chars below which non-empty text is
     #: flagged ``low_quality_text`` (readability analog, M2/M14).
@@ -64,6 +74,19 @@ class ValidationConfig:
     max_null_ts_rate: float | None = 0.0
     max_text_len: int | None = 1_000_000  # guard against pathological rows
 
+    # Language ID ----------------------------------------------------------
+    #: per-language function-word banks for the keyword-argmax language
+    #: detector (the reference's per-language keyword lists live in
+    #: config.json, ``modules/config_loader.py:54-245`` — adding a language
+    #: is a config change). ((lang, (words...)), ...); priority breaks ties.
+    lang_keyword_banks: tuple[tuple[str, tuple[str, ...]], ...] = (
+        ("en", ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")),
+        ("de", ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu")),
+        ("es", ("el", "la", "de", "que", "y", "los", "una", "por", "con", "para")),
+        ("fr", ("le", "la", "et", "les", "des", "une", "est", "pour", "dans", "que")),
+    )
+    lang_priority: tuple[str, ...] = ("en", "de", "es", "fr")
+
     # Stats / drift --------------------------------------------------------
     #: number of buckets for text-length histograms used by the drift check.
     length_hist_buckets: tuple[int, ...] = (0, 16, 64, 128, 256, 512, 1024, 4096)
@@ -90,11 +113,14 @@ class ValidationConfig:
     def from_json(path: str | Path) -> "ValidationConfig":
         raw = json.loads(Path(path).read_text())
         known = {f.name for f in dataclasses.fields(ValidationConfig)}
+        def tupled(v):
+            return tuple(tupled(x) for x in v) if isinstance(v, list) else v
+
         kwargs = {}
         for k, v in raw.items():
             if k not in known:
                 raise KeyError(f"unknown config key: {k}")
-            kwargs[k] = tuple(v) if isinstance(v, list) else v
+            kwargs[k] = tupled(v)
         return ValidationConfig(**kwargs)
 
 

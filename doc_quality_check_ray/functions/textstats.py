@@ -128,32 +128,36 @@ def sql_quality_score_expr(col: str) -> str:
     return f"round(0.5 * {ar} + 0.3 * {stop_band} + 0.2 * {len_band}, 6)"
 
 
-def detect_language(text) -> np.ndarray:
-    """Argmax of per-language function-word hits; ties fall to LANG_PRIORITY
+def detect_language(text, banks=None, priority=None) -> np.ndarray:
+    """Argmax of per-language function-word hits; ties fall to priority
     order (strictly-greater comparison, like the reference's argmax-with-
-    default, ``document_processor.py:70-89``)."""
+    default, ``document_processor.py:70-89``).
+
+    ``banks``/``priority`` default to the module banks but are normally the
+    CONFIG's (the reference loads its per-language keyword lists from
+    ``config.json``, ``modules/config_loader.py:54-245`` — adding a language
+    is a config change, not a code change)."""
+    banks = dict(banks) if banks is not None else LANG_STOPWORDS
+    priority = tuple(priority) if priority is not None else LANG_PRIORITY
     n = len(text)
-    counts = {
-        lang: stopword_counts(text, n, words) for lang, words in LANG_STOPWORDS.items()
-    }
-    best = np.full(n, LANG_PRIORITY[0], dtype=object)
-    best_n = counts[LANG_PRIORITY[0]].copy()
-    for lang in LANG_PRIORITY[1:]:
+    counts = {lang: stopword_counts(text, n, tuple(banks[lang])) for lang in priority}
+    best = np.full(n, priority[0], dtype=object)
+    best_n = counts[priority[0]].copy()
+    for lang in priority[1:]:
         m = counts[lang] > best_n
         best[m] = lang
         best_n = np.maximum(best_n, counts[lang])
     return best
 
 
-def sql_detect_language_expr(col: str) -> str:
-    c = {
-        lang: sql_stopword_count_expr(col, words)
-        for lang, words in LANG_STOPWORDS.items()
-    }
+def sql_detect_language_expr(col: str, banks=None, priority=None) -> str:
+    banks = dict(banks) if banks is not None else LANG_STOPWORDS
+    priority = tuple(priority) if priority is not None else LANG_PRIORITY
+    c = {lang: sql_stopword_count_expr(col, tuple(banks[lang])) for lang in priority}
     # same strictly-greater fold as detect_language
-    expr = f"'{LANG_PRIORITY[0]}'"
-    best = c[LANG_PRIORITY[0]]
-    for lang in LANG_PRIORITY[1:]:
+    expr = f"'{priority[0]}'"
+    best = c[priority[0]]
+    for lang in priority[1:]:
         expr = f"CASE WHEN {c[lang]} > {best} THEN '{lang}' ELSE {expr} END"
         best = f"greatest({best}, {c[lang]})"
     return expr

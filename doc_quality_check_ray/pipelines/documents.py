@@ -112,11 +112,17 @@ def q_token_stats(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    banks, priority = dict(_cfg.lang_keyword_banks), _cfg.lang_priority
+
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "detected_lang": pa.array(ts.detect_language(t["text"]), pa.string()),
+                "detected_lang": pa.array(
+                    ts.detect_language(t["text"], banks, priority), pa.string()
+                ),
             }
         )
 

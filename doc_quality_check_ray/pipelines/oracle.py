@@ -16,6 +16,11 @@ from ..functions import textstats as ts
 from ..functions.quality import sql_valid_char_ratio_expr
 from ..functions.text_norm import sql_normalize_expr
 from ..sources.transcripts import TRANSCRIPTS_CTE
+from ..stages.row_checks import (
+    sql_any_violation_predicate,
+    sql_reason_case,
+    sql_violation_fragments,
+)
 
 
 def _roles_in(cfg: ValidationConfig) -> str:
@@ -23,42 +28,13 @@ def _roles_in(cfg: ValidationConfig) -> str:
 
 
 def sql_row_violations(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
-    ratio = sql_valid_char_ratio_expr("text")
-    return (
-        TRANSCRIPTS_CTE
-        + f"""
-SELECT conv_id, turn_idx, 'empty_turn' AS check_id, 'text null or blank' AS detail
-  FROM transcripts WHERE text IS NULL OR trim(text) = ''
-UNION ALL
-SELECT conv_id, turn_idx, 'invalid_role', 'role=' || coalesce(role, '<null>')
-  FROM transcripts WHERE role IS NULL OR role NOT IN ({_roles_in(cfg)})
-UNION ALL
-SELECT conv_id, turn_idx, 'tool_role_consistency', 'missing_tool'
-  FROM transcripts WHERE coalesce(role, '') = 'tool' AND tool IS NULL
-UNION ALL
-SELECT conv_id, turn_idx, 'tool_role_consistency', 'unexpected_tool'
-  FROM transcripts WHERE coalesce(role, '') <> 'tool' AND tool IS NOT NULL
-UNION ALL
-SELECT conv_id, turn_idx, 'low_quality_text',
-       'valid_char_ratio<{cfg.quality_ratio_threshold}'
-  FROM transcripts
- WHERE NOT (text IS NULL OR trim(text) = '')
-   AND {ratio} < {cfg.quality_ratio_threshold}
-"""
-    )
+    """Violation-row union generated from the SAME check registry the engine
+    stage runs (stages/row_checks.py) — twins cannot drift apart."""
+    return TRANSCRIPTS_CTE + "\n" + "\nUNION ALL\n".join(sql_violation_fragments(cfg))
 
 
 def _sql_reason_case(cfg: ValidationConfig) -> str:
-    """Priority-ordered single-reason CASE (first failed check wins)."""
-    ratio = sql_valid_char_ratio_expr("text")
-    return f"""CASE
-      WHEN text IS NULL OR trim(text) = '' THEN 'empty_turn'
-      WHEN role IS NULL OR role NOT IN ({_roles_in(cfg)}) THEN 'invalid_role'
-      WHEN (coalesce(role,'') = 'tool' AND tool IS NULL)
-        OR (coalesce(role,'') <> 'tool' AND tool IS NOT NULL) THEN 'tool_role_consistency'
-      WHEN {ratio} < {cfg.quality_ratio_threshold} THEN 'low_quality_text'
-      ELSE 'OK'
-    END"""
+    return sql_reason_case(cfg)
 
 
 def sql_verdicts(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
@@ -177,23 +153,13 @@ FROM _j
 
 
 def _sql_all_violations_body(cfg: ValidationConfig) -> str:
-    """The three violation sources as one UNION (shared by partition rollup)."""
-    ratio = sql_valid_char_ratio_expr("text")
+    """Every violation source as one (conv_id, turn_idx) UNION — registry
+    row checks plus the key-level duplicate/gap findings."""
+    row_part = "\n  UNION ALL\n".join(
+        f"  SELECT conv_id, turn_idx FROM ({frag})" for frag in sql_violation_fragments(cfg)
+    )
     return f"""
-  SELECT conv_id, turn_idx FROM transcripts WHERE text IS NULL OR trim(text) = ''
-  UNION ALL
-  SELECT conv_id, turn_idx FROM transcripts
-    WHERE role IS NULL OR role NOT IN ({_roles_in(cfg)})
-  UNION ALL
-  SELECT conv_id, turn_idx FROM transcripts
-    WHERE coalesce(role,'') = 'tool' AND tool IS NULL
-  UNION ALL
-  SELECT conv_id, turn_idx FROM transcripts
-    WHERE coalesce(role,'') <> 'tool' AND tool IS NOT NULL
-  UNION ALL
-  SELECT conv_id, turn_idx FROM transcripts
-    WHERE NOT (text IS NULL OR trim(text) = '')
-      AND {ratio} < {cfg.quality_ratio_threshold}
+{row_part}
   UNION ALL
   SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx FROM transcripts
     GROUP BY conv_id, turn_idx HAVING count(*) > 1
@@ -277,8 +243,11 @@ FROM documents
 """
 
 
-def sql_langid() -> str:
-    return f"SELECT doc_id, {ts.sql_detect_language_expr('text')} AS detected_lang FROM documents"
+def sql_langid(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    expr = ts.sql_detect_language_expr(
+        "text", dict(cfg.lang_keyword_banks), cfg.lang_priority
+    )
+    return f"SELECT doc_id, {expr} AS detected_lang FROM documents"
 
 
 def sql_fingerprints() -> str:
@@ -396,14 +365,7 @@ GROUP BY conv_id
 
 
 def sql_conversation_verdicts(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
-    ratio = sql_valid_char_ratio_expr("text")
-    bad = f"""(
-      text IS NULL OR trim(text) = ''
-      OR role IS NULL OR role NOT IN ({_roles_in(cfg)})
-      OR (coalesce(role,'') = 'tool' AND tool IS NULL)
-      OR (coalesce(role,'') <> 'tool' AND tool IS NOT NULL)
-      OR coalesce({ratio} < {cfg.quality_ratio_threshold}, FALSE)
-    )"""
+    bad = sql_any_violation_predicate(cfg)
     return (
         TRANSCRIPTS_CTE
         + f"""
@@ -477,29 +439,13 @@ FROM transcripts t LEFT JOIN _share s ON t.role = s.role
 
 
 def sql_all_violations(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
-    """Full violation-row union (row checks + duplicate keys + turn gaps) in
-    the shared (conv_id, turn_idx, check_id, detail) format."""
-    ratio = sql_valid_char_ratio_expr("text")
+    """Full violation-row union (registry row checks + duplicate keys +
+    turn gaps) in the shared (conv_id, turn_idx, check_id, detail) format."""
+    row_part = "\nUNION ALL\n".join(sql_violation_fragments(cfg))
     return (
         TRANSCRIPTS_CTE
         + f"""
-SELECT conv_id, turn_idx, 'empty_turn' AS check_id, 'text null or blank' AS detail
-  FROM transcripts WHERE text IS NULL OR trim(text) = ''
-UNION ALL
-SELECT conv_id, turn_idx, 'invalid_role', 'role=' || coalesce(role, '<null>')
-  FROM transcripts WHERE role IS NULL OR role NOT IN ({_roles_in(cfg)})
-UNION ALL
-SELECT conv_id, turn_idx, 'tool_role_consistency', 'missing_tool'
-  FROM transcripts WHERE coalesce(role, '') = 'tool' AND tool IS NULL
-UNION ALL
-SELECT conv_id, turn_idx, 'tool_role_consistency', 'unexpected_tool'
-  FROM transcripts WHERE coalesce(role, '') <> 'tool' AND tool IS NOT NULL
-UNION ALL
-SELECT conv_id, turn_idx, 'low_quality_text',
-       'valid_char_ratio<{cfg.quality_ratio_threshold}'
-  FROM transcripts
- WHERE NOT (text IS NULL OR trim(text) = '')
-   AND {ratio} < {cfg.quality_ratio_threshold}
+{row_part}
 UNION ALL
 SELECT conv_id, turn_idx, 'duplicate_key', 'n=' || count(*)
   FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
