@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .exchange import hash_bucket_aggregate
-from ..functions.rounding import round_half_away_scalar
+from ..functions.rounding import round_half_away, round_half_away_scalar
 from ..functions.hashing import (
     band_hashes,
     hamming_distance,
@@ -273,10 +273,13 @@ def _verify_pairs_distributed(
         p = g.filter(pc.equal(g["kind"], 1))
         if p.num_rows == 0:
             return _JOIN_SCHEMA.empty_table()
+        # global pair-dedup happens here for free: every copy of (a, b) has
+        # the same a_id, so all copies land in this bucket
+        pdf = p.select(["a_id", "b_id"]).to_pandas().drop_duplicates(["a_id", "b_id"])
         srows = g.filter(pc.equal(g["kind"], 0))
         lut = dict(zip(srows["a_id"].to_pylist(), srows["sh"].to_pylist()))
-        a_ids = p["a_id"].to_pylist()
-        b_ids = p["b_id"].to_pylist()
+        a_ids = pdf["a_id"].tolist()
+        b_ids = pdf["b_id"].tolist()
         return _tagged(
             np.asarray(b_ids, dtype=np.int64) % num_buckets,
             1,
@@ -339,16 +342,23 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 256,
+    verify: str = "auto",
+    max_driver_pairs: int = 65_536,
 ) -> pa.Table:
     """Near-duplicate pairs (a_id < b_id, jaccard ≥ threshold).
 
     shingle → minhash → banded signatures → band-bucket exchange →
-    candidate pairs → distributed pair-dedup → distributed exact-Jaccard
-    verification (hash-bucket joins against the shingle table). Every stage
-    is a Dataset transform; the only driver collect is the final verified
-    result (bounded by the true near-dup count). Band-bucket pair blowup is
-    capped at ``max_bucket`` ids per bucket with logged truncation.
-    Deterministic (seeded permutations); jaccard rounded to 6 decimals.
+    candidate pairs → exact-Jaccard verification. Verification is adaptive
+    (the broadcast-vs-shuffle join decision): with ``verify="auto"`` a
+    candidate set at most ``max_driver_pairs`` (after dedup) verifies
+    driver-side against a bounded shingle lookup — the fast path when
+    near-dups are rare — while anything larger takes the fully distributed
+    hash-bucket joins of :func:`_verify_pairs_distributed` (no
+    data-proportional driver materialization; the gate makes the driver
+    path's memory bounded by construction). ``verify="distributed"`` forces
+    the scale path. Band-bucket pair blowup is capped at ``max_bucket`` ids
+    per bucket with logged truncation. Deterministic (seeded permutations);
+    jaccard rounded to 6 decimals.
     """
     band_rows = ds.map_batches(
         lambda t: _signature_batches(t, text_col, id_col, num_perm, bands, shingle_k),
@@ -378,19 +388,61 @@ def minhash_lsh_pairs(
         band_rows.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()  # consumed by count + verify; pairs are 16 B/row
     )
-    verified = _verify_pairs_distributed(
-        _dedup_pairs(cand),
-        _shingle_rows(ds, text_col, id_col, shingle_k),
-        threshold,
-    ).to_pandas()
-    if len(verified) == 0:
-        return pa.table(
-            {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
+
+    empty = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+
+    if verify == "driver" or (verify == "auto" and n_cand <= max_driver_pairs):
+        pairs = cand.to_pandas().drop_duplicates(["a_id", "b_id"])
+        ids = sorted(set(pairs["a_id"]) | set(pairs["b_id"]))
+        shingles = _collect_shingles_bounded(ds, ids, text_col, id_col, shingle_k)
+        sims = np.array(
+            [
+                jaccard(shingles[a], shingles[b])
+                for a, b in zip(pairs["a_id"], pairs["b_id"])
+            ]
         )
+        keep = sims >= threshold
+        out = pairs[keep]
+        verified = pd.DataFrame(
+            {
+                "a_id": out["a_id"].astype("int64"),
+                "b_id": out["b_id"].astype("int64"),
+                "jaccard": round_half_away(sims[keep], 6),
+            }
+        )
+    else:
+        verified = _verify_pairs_distributed(
+            cand, _shingle_rows(ds, text_col, id_col, shingle_k), threshold
+        ).to_pandas()
+    if len(verified) == 0:
+        return empty
     verified = verified.sort_values(["a_id", "b_id"], ignore_index=True)
     return pa.Table.from_pandas(verified, preserve_index=False)
+
+
+def _collect_shingles_bounded(ds, ids, text_col, id_col, k) -> dict:
+    """Shingle sets for a BOUNDED candidate id set (gated by
+    ``max_driver_pairs`` upstream): computed distributed, collected driver-
+    side. The distributed join path handles unbounded candidate sets."""
+    idset = pa.array(sorted(int(i) for i in ids), pa.int64())
+
+    def only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=idset))
+
+    out = {}
+    for row in _shingle_rows(ds, text_col, id_col, k).map_batches(
+        only, batch_format="pyarrow"
+    ).take_all():
+        out[int(row["doc_id"])] = np.asarray(row["sh"], dtype=np.uint64)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -502,12 +554,19 @@ def simhash_pairs(
             return _EMPTY_SIMHASH_PAIRS
         return pd.concat(outs, ignore_index=True)
 
-    verified = _dedup_pairs(
+    cand = (
         sk.map_batches(explode, batch_format="pyarrow")
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-    ).to_pandas()
+        .materialize()  # consumed by count + dedup; rows are 24 B
+    )
+    # adaptive dedup across the 4 chunk buckets (same gate as minhash):
+    # small candidate sets dedup driver-side, large ones distributed
+    if cand.count() <= 65_536:
+        verified = cand.to_pandas().drop_duplicates(["a_id", "b_id"])
+    else:
+        verified = _dedup_pairs(cand).to_pandas()
     if len(verified) == 0:
         return pa.table(
             {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),

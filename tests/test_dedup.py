@@ -88,6 +88,14 @@ def test_minhash_lsh_finds_planted_pairs():
     assert len(pairs) <= 4
 
 
+def test_minhash_distributed_verify_matches_driver_path():
+    """The scale path (hash-bucket join verification) must produce exactly
+    the gated driver path's result."""
+    fast = minhash_lsh_pairs(_corpus(), threshold=0.6).to_pandas()
+    dist = minhash_lsh_pairs(_corpus(), threshold=0.6, verify="distributed").to_pandas()
+    assert fast.values.tolist() == dist.values.tolist()
+
+
 def test_simhash_finds_exact_dup():
     pairs = simhash_pairs(_corpus(), max_hamming=3).to_pandas()
     found = set(zip(pairs.a_id, pairs.b_id))
