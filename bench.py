@@ -71,6 +71,39 @@ def ensure_corpus() -> Path:
     return path
 
 
+def run_scan(corpus: Path) -> dict:
+    """Fused phase-1 scan ONLY (read → row checks + sketches + fingerprints →
+    count) — the data-parallel core that dominates at design scale. Its
+    scaling isolates per-row compute from the run's fixed single-node tail
+    (driver merges, one shared disk), which a real 4× cluster multiplies."""
+    import ray.data as _rd
+
+    from doc_quality_check_ray.config import DEFAULT_CONFIG as _cfg
+    from doc_quality_check_ray.pipelines.run import _fused_phase1_batch
+
+    files = [str(f) for f in sorted(corpus.glob("*.parquet"))]
+    for f in files:
+        Path(f).read_bytes()
+    _rd.read_parquet(files[0]).limit(65536).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).groupby("conv_id").count().count()
+    os.sync()
+    t0 = time.perf_counter()
+    ds = _rd.read_parquet(files).map_batches(
+        lambda t: _fused_phase1_batch(t, _cfg),
+        batch_format="pyarrow",
+        batch_size=_cfg.batch_size,
+        zero_copy_batch=True,
+    )
+    n = ds.count()
+    wall = time.perf_counter() - t0
+    # count() counts fused OUTPUT rows; report input rows for throughput
+    import pyarrow.parquet as _pq
+
+    n_rows = sum(_pq.read_metadata(f).num_rows for f in files)
+    return {"sec": wall, "rows": n_rows, "turns_per_sec": n_rows / wall}
+
+
 def run_headline(corpus: Path) -> dict:
     import ray
 
@@ -128,7 +161,9 @@ def run_queries() -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-scan", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scan-only", action="store_true")
     # N vs 4N parallelism. Default pair 2→8: on ONE sandbox node the shared
     # disk + memory bus stop scaling past ~8-16 cores (a real 4x cluster
     # multiplies those); 8→32 numbers are also recorded in BASELINE.md.
@@ -136,10 +171,10 @@ def main() -> None:
     ap.add_argument("--hi", type=int, default=8)
     args = ap.parse_args()
 
-    if args.scaling:
+    if args.scaling or args.scaling_scan:
         # scaling runs use a larger corpus (51M rows) so per-row compute
         # dominates the single-node fixed costs (worker pool, shared disk)
-        scaling_convs = os.environ.get("DQC_BENCH_SCALING_CONVS", "6400000")
+        scaling_convs = os.environ.get("DQC_BENCH_SCALING_CONVS", "12800000")
         env0 = dict(os.environ, DQC_BENCH_CONVS=scaling_convs)
         # generate the corpus once before timing anything
         subprocess.run(
@@ -149,10 +184,12 @@ def main() -> None:
             env=env0, check=True, cwd=str(Path(__file__).parent),
         )
 
+        mode_flag = "--scan-only" if args.scaling_scan else "--headline-only"
+
         def one(ncpu: int) -> dict:
             env = dict(env0, RAY_GRAFT_CPUS=str(ncpu))
             p = subprocess.run(
-                [sys.executable, "bench.py", "--headline-only"],
+                [sys.executable, "bench.py", mode_flag],
                 env=env, capture_output=True, text=True, check=True,
                 cwd=str(Path(__file__).parent),
             )
@@ -164,7 +201,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": "scaling",
+                    "metric": "scaling_scan" if args.scaling_scan else "scaling",
                     "cpus_lo": args.lo,
                     "cpus_hi": args.hi,
                     "sec_lo": round(lo["value"], 2),
@@ -192,8 +229,8 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     corpus = ensure_corpus()
-    head = run_headline(corpus)
-    queries = {} if args.headline_only else run_queries()
+    head = run_scan(corpus) if args.scan_only else run_headline(corpus)
+    queries = {} if (args.headline_only or args.scan_only) else run_queries()
 
     print(
         json.dumps(

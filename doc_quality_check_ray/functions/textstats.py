@@ -82,11 +82,12 @@ def sql_stopword_count_expr(col: str, stopwords=EN_STOPWORDS) -> str:
 
 
 def alpha_ratio(text):
-    """Fraction of [A-Za-z] characters; null for null/empty text."""
+    """Fraction of [A-Za-z] characters; null for null/empty text.
+    (count_substring_regex: counts non-alpha code points without building a
+    replaced string copy — same values, less memory traffic.)"""
     total = pc.utf8_length(text)
-    kept = pc.utf8_length(
-        pc.replace_substring_regex(text, pattern=r"[^A-Za-z]", replacement="")
-    )
+    bad = pc.count_substring_regex(text, pattern=r"[^A-Za-z]")
+    kept = pc.subtract(total, bad)
     return pc.divide(
         pc.cast(kept, pa.float64()),
         pc.if_else(pc.equal(total, 0), pa.scalar(None, pa.int32()), total),

@@ -192,18 +192,29 @@ def _process_group(
     n_viol = sum(pq.read_metadata(f).num_rows for f in dst.glob("kind=v/*.parquet"))
     # tree reduce, level 1: this shard's per-batch sketches merge into ONE
     # sketch inside a Ray task; the driver later merges O(shards) of these
-    # (never O(batches) — at 10^12 rows that is millions of JSON sketches)
-    shard_sketch = ray.get(_merge_shard_sketch_task.remote(str(dst), cfg))
-    return {
+    # (never O(batches) — at 10^12 rows that is millions of JSON sketches).
+    # The ref is returned UNRESOLVED so the merge overlaps the next group's
+    # scan instead of sitting on the critical path between groups.
+    sketch_ref = _merge_shard_sketch_task.remote(str(dst), cfg)
+    entry = {
         "shard_id": group_id,
         "input_files": files,
-        "n_rows": int(shard_sketch["n_rows"]) if shard_sketch else 0,
         "n_row_violations": int(n_viol),
-        "sketch": shard_sketch,
         "wall_sec": round(time.perf_counter() - t0, 3),
         "group_size": len(files),
         "engine_version": "0.1.0",
     }
+    return entry, sketch_ref
+
+
+def _finalize_group(
+    manifest: RunManifest, entry: dict[str, Any], sketch_ref
+) -> None:
+    """Resolve the deferred sketch merge and write the completion manifest."""
+    shard_sketch = ray.get(sketch_ref)
+    entry["sketch"] = shard_sketch
+    entry["n_rows"] = int(shard_sketch["n_rows"]) if shard_sketch else 0
+    manifest.mark_complete(entry["shard_id"], entry)
 
 
 @ray.remote
@@ -237,6 +248,14 @@ def _phase2_global(
     """
 
     import pandas as pd
+
+    # the KB-scale partial merges are independent of the key exchange — run
+    # them as tasks CONCURRENT with it instead of serially on the driver
+    # afterward (phase 2's driver-side serial tail was the largest
+    # non-scaling cost in the N-vs-4N measurement)
+    p_ref = _sum_partials_task.remote(_shard_dirs(out, "p"), "n_rows")
+    q_ref = _sum_partials_task.remote(_shard_dirs(out, "q"), "n_violations")
+    err_ref = _count_batch_errors_task.remote(_shard_dirs(out, "v"))
 
     def bucket_findings(g: pd.DataFrame) -> pa.Table:
         """Per bucket: count key multiplicities, emit dup-key and gap-conv
@@ -368,27 +387,10 @@ def _phase2_global(
         (gtmp / "drift.json").write_text(json.dumps(drift_info))
 
         # verdict manifest from the KB-scale 'p'/'q' partials + the (small)
-        # key findings — pure driver-side pandas, no further cluster passes
-        def _sum_partials(kind: str, alias: str) -> pd.DataFrame:
-            files = _shard_dirs(out, kind)
-            if not files:
-                return pd.DataFrame({"partition_id": [], alias: []}).astype("int64")
-            import pyarrow.dataset as pads
-
-            # one threaded C++ scan over the many small per-block files
-            # (opening ~1600 files one by one on the driver costs seconds)
-            t = pads.dataset(files, format="parquet").to_table(
-                columns=["turn_idx", "cnt"]
-            )
-            return (
-                t.to_pandas()
-                .rename(columns={"turn_idx": "partition_id", "cnt": alias})
-                .groupby("partition_id", as_index=False)[alias]
-                .sum()
-            )
-
-        rows_per = _sum_partials("p", "n_rows")
-        viol_per = _sum_partials("q", "n_violations")
+        # key findings — partial sums were launched as tasks before the
+        # exchange and have been computing alongside it; collect them now
+        rows_per = ray.get(p_ref)
+        viol_per = ray.get(q_ref)
         for extra in (dup_t, gap_t):
             if extra.num_rows:
                 pid = partition_id_col(extra["conv_id"], cfg.n_partitions).to_pandas()
@@ -419,7 +421,7 @@ def _phase2_global(
         # invisible to partition verdicts — count them explicitly and fail
         # the run summary when any batch was lost (ADVICE r1: a run must not
         # report n_partitions_failed=0 while entire batches errored out)
-        n_batch_errors, n_error_rows = _count_batch_errors(out)
+        n_batch_errors, n_error_rows = ray.get(err_ref)
         summary = {
             "n_rows": merged.n_rows,
             "n_convs_estimate": int(est) if est is not None else None,
@@ -439,11 +441,29 @@ def _phase2_global(
     return summary
 
 
-def _count_batch_errors(out: Path) -> tuple[int, int]:
+@ray.remote
+def _sum_partials_task(files: list[str], alias: str):
+    """Sum the per-partition 'p'/'q' count partials (threaded C++ scan over
+    the many small per-block files; runs concurrent with the key exchange)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    if not files:
+        return pd.DataFrame({"partition_id": [], alias: []}).astype("int64")
+    t = pads.dataset(files, format="parquet").to_table(columns=["turn_idx", "cnt"])
+    return (
+        t.to_pandas()
+        .rename(columns={"turn_idx": "partition_id", "cnt": alias})
+        .groupby("partition_id", as_index=False)[alias]
+        .sum()
+    )
+
+
+@ray.remote
+def _count_batch_errors_task(files: list[str]) -> tuple[int, int]:
     """(n batch_error rows, total rows lost in them) across all shards."""
     import pyarrow.dataset as pads
 
-    files = _shard_dirs(out, "v")
     if not files:
         return 0, 0
     t = pads.dataset(files, format="parquet").to_table(
@@ -542,11 +562,19 @@ def run_validation(
     if max_groups is not None:
         pending = pending[:max_groups]
 
+    # the previous group's sketch-merge task resolves while the current
+    # group's scan runs — zero critical-path cost; a kill mid-group redoes at
+    # most one already-scanned group (its manifest lands one group late)
     processed = 0
+    prev: tuple[dict[str, Any], Any] | None = None
     for gid, files in pending:
-        entry = _process_group(gid, files, out, cfg)
-        manifest.mark_complete(gid, entry)
+        entry, ref = _process_group(gid, files, out, cfg)
+        if prev is not None:
+            _finalize_group(manifest, *prev)
+        prev = (entry, ref)
         processed += 1
+    if prev is not None:
+        _finalize_group(manifest, *prev)
 
     if stopped_early:
         return {"partial": True, "processed": processed, "skipped": skipped}

@@ -52,7 +52,11 @@ def test_batch_errors_surface_in_summary_counts(tmp_path):
     vdir.mkdir(parents=True)
     pq.write_table(err_rows.drop_columns(["kind"]), vdir / "part-0.parquet")
 
-    n_err, n_lost = R._count_batch_errors(tmp_path)
+    import ray
+
+    n_err, n_lost = ray.get(
+        R._count_batch_errors_task.remote(R._shard_dirs(tmp_path, "v"))
+    )
     assert n_err == 1
     assert n_lost == table.num_rows
 
