@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprints": D.q_fingerprints,
         "t_top_terms": D.q_top_terms,
         "t_two_tier_scores": D.q_two_tier_scores,
+        "t_subtoken_counts": D.q_subtoken_counts,
+        "t_top_terms_by_source": D.q_top_terms_by_source,
+        "d_sample_documents": D.q_sample_documents,
         "mm_decode": D.q_mm_decode,
         "d_chunk_documents": D.q_chunk_documents,
         # transcript-table extras
@@ -72,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_parse_props": E.q_parse_props,
         "e_user_sessions": E.q_user_sessions,
         "e_asof_last_signup": E.q_asof_last_signup,
+        "e_hourly_event_counts": E.q_hourly_event_counts,
     }
 
 
@@ -97,6 +101,10 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprints": O.sql_fingerprints(),
         "t_top_terms": O.sql_top_terms(),
         "t_two_tier_scores": O.sql_two_tier_scores(D.TWO_TIER_CUTOFF),
+        "t_subtoken_counts": O.sql_subtoken_counts(D.SUBTOKEN_RE2),
+        "t_top_terms_by_source": O.sql_top_terms_by_source(),
+        "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
+        "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
         "mm_decode": O.sql_mm_decode(),
         "d_chunk_documents": O.sql_chunk_documents(),
         "v_ts_regressions": O.sql_ts_regressions(),

@@ -259,6 +259,99 @@ def q_two_tier_scores(sf_dir: str):
     )
 
 
+#: RE2 for BPE-ish subword units: letter runs, digit runs, single punctuation
+SUBTOKEN_RE2 = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_subtoken_counts(sf_dir: str):
+    """(doc_id, n_subtokens): BPE-ish regex token counting (brief: token
+    counting = whitespace + a BPE-ish regex; whitespace counting lives in
+    t_token_stats). One vectorized count kernel per batch, no split
+    materialization."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(
+            pc.count_substring_regex(t["text"], pattern=SUBTOKEN_RE2), 0
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_subtokens": pc.cast(n, pa.int64())}
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: any doc whose md5(doc_id)'s first hex byte is below this samples in (16/256)
+SAMPLE_HEX_LT = "10"
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic hash sample (~6% of rows): keep docs whose
+    md5(str(doc_id)) first hex byte < 0x10 — the seeded-sample operator
+    (O6 per-category sampling cap analog) as a pure filter any engine or
+    SQL twin reproduces bit-for-bit, unlike RNG-based sampling."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:2] < SAMPLE_HEX_LT for i in ids]
+        )
+        return t.filter(keep)
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_top_terms_by_source(sf_dir: str, k: int = 5):
+    """Grouped top-k with label: the k most frequent tokens per ``source``
+    (tie → token asc) — per-batch combiner → (source, token) exchange →
+    exact per-block prune to k per source (any true top-k token has at most
+    k-1 tokens of its source beating it anywhere, so it survives its
+    block's per-source top-k) → tiny source-keyed rollup."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        src = pc.take(t["source"], pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")  # blank docs contribute no tokens
+        g = (
+            pa.table({"source": src, "token": flat})
+            .filter(keep)
+            .group_by(["source", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source", "token", "n"])
+
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "token"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    out = merged.map_batches(prune, batch_format="pandas").to_pandas()
+    out = (
+        out.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .groupby("source", sort=False)
+        .head(k)
+        .sort_values(["source", "n", "token"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # -- multimodal -------------------------------------------------------------
 
 

@@ -102,6 +102,52 @@ FROM (
 """
 
 
+def q_hourly_event_counts(sf_dir: str):
+    """Tumbling-window aggregate: events per hour with distinct-user counts —
+    the engine's windowed-aggregate operator (brief: "a streaming window").
+    Two-stage: per-batch (hour, user) partials → (hour, user) exchange
+    (dedup+count) → tiny hour-level rollup. Shuffle volume is distinct
+    (hour, user) pairs per batch, never raw events."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = (
+            pa.table({"hour": hour, "user_id": t["user_id"]})
+            .group_by(["hour", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["hour", "user_id", "n"])
+
+    per_user = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "user_id"],
+        {"n": ("n", "sum")},
+        num_buckets=32,
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = t.group_by("hour").aggregate([("n", "sum"), ([], "count_all")])
+        return g.rename_columns(["hour", "n", "n_users"])
+
+    # hour-level final combine (tiny domain): per-block partial + one merge
+    final = hash_bucket_aggregate(
+        per_user.map_batches(rollup, batch_format="pyarrow"),
+        ["hour"],
+        {"n": ("n", "sum"), "n_users": ("n_users", "sum")},
+        num_buckets=4,
+    )
+    return final
+
+
+SQL_HOURLY_EVENT_COUNTS = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def q_asof_last_signup(sf_dir: str):
     """As-of join: for every event, the most recent prior-or-equal 'signup'
     timestamp of the same user — the engine's range/as-of join operator

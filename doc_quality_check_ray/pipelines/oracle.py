@@ -278,6 +278,37 @@ FROM (SELECT doc_id, {ar} AS ar, {q} AS q FROM documents)
 """
 
 
+def sql_subtoken_counts(pattern: str) -> str:
+    return rf"""
+SELECT doc_id,
+       CAST(coalesce(len(regexp_extract_all(text, '{pattern}')), 0) AS BIGINT)
+         AS n_subtokens
+FROM documents
+"""
+
+
+def sql_sample_documents(hex_lt: str) -> str:
+    return f"""
+SELECT doc_id, text FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}'
+"""
+
+
+def sql_top_terms_by_source(k: int = 5) -> str:
+    return r"""
+WITH c AS (
+  SELECT source, token, count(*) AS n FROM (
+    SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents WHERE trim(coalesce(text, '')) <> ''
+  ) GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rn
+  FROM c
+)
+SELECT source, token, n FROM r WHERE rn <= %d
+""" % k
+
+
 def sql_mm_decode() -> str:
     return """
 SELECT doc_id,
