@@ -17,6 +17,7 @@ from typing import Any
 from doc_quality_check_ray.pipelines import documents as D
 from doc_quality_check_ray.pipelines import events as E
 from doc_quality_check_ray.pipelines import oracle as O
+from doc_quality_check_ray.pipelines import relational as R
 from doc_quality_check_ray.pipelines import validate as V
 
 
@@ -76,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_user_sessions": E.q_user_sessions,
         "e_asof_last_signup": E.q_asof_last_signup,
         "e_hourly_event_counts": E.q_hourly_event_counts,
+        # relational operators over the TPC-H-ish tables
+        "r_pricing_summary": R.q_pricing_summary,
+        "r_events_by_nation": R.q_events_by_nation,
     }
 
 
@@ -105,6 +109,8 @@ def oracle_sql() -> dict[str, str]:
         "t_top_terms_by_source": O.sql_top_terms_by_source(),
         "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
+        "r_pricing_summary": R.SQL_PRICING_SUMMARY,
+        "r_events_by_nation": R.SQL_EVENTS_BY_NATION,
         "mm_decode": O.sql_mm_decode(),
         "d_chunk_documents": O.sql_chunk_documents(),
         "v_ts_regressions": O.sql_ts_regressions(),
