@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_pairs": D.q_minhash_pairs,
         "d_simhash_pairs": D.q_simhash_pairs,
         "d_ngram_jaccard": D.q_ngram_jaccard,
+        "d_winnow_pairs": D.q_winnow_pairs,
         "d_knn": D.q_knn,
         "d_cosine_near_dup": D.q_cosine_near_dup,
         "d_lsh_near_dup": D.q_lsh_near_dup,

@@ -23,6 +23,7 @@ from ..stages.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    winnow_pairs,
 )
 from ..stages.multimodal import attach_fake_payloads, decode_stage
 from ..stages.similarity import (
@@ -67,6 +68,14 @@ def q_ngram_jaccard(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def q_winnow_pairs(sf_dir: str):
+    """Rolling-hash (winnowing) copy-detection pairs: docs sharing ≥8
+    selected fingerprints (long verbatim overlap). No SQL oracle (rolling
+    window minima); pinned against a per-row reference implementation and
+    the planted-dup fixture in pytest."""
+    return winnow_pairs(_docs(sf_dir))
 
 
 # -- similarity search ------------------------------------------------------
