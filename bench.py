@@ -44,7 +44,12 @@ QUERY_NAMES = [
     "d_chunk_documents",
     "t_token_stats",
     "t_fingerprints",
+    "t_two_tier_scores",
+    "d_winnow_pairs",
     "e_user_sessions",
+    "e_hourly_event_counts",
+    "r_pricing_summary",
+    "r_events_by_nation",
     "mm_decode",
 ]
 

@@ -226,7 +226,7 @@ def ivf_knn(
     query_ids: list[int],
     k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 6,
     seed: int = 7,
     sample_size: int = 4096,
     vec_col: str = "embedding",
