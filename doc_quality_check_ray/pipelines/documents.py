@@ -380,25 +380,56 @@ def q_chunk_documents(sf_dir: str, chunk_tokens: int = 32):
     """
 
     def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         toks = pc.split_pattern_regex(
             pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), r"\s+"
         )
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        ids, chunk_idx, chunks = [], [], []
-        doc_ids = t["doc_id"].to_pylist()
-        for i, row in enumerate(toks.to_pylist()):
-            if row == [""] or not row:
-                continue
-            for c in range(0, len(row), chunk_tokens):
-                ids.append(doc_ids[i])
-                chunk_idx.append(c // chunk_tokens)
-                chunks.append(" ".join(row[c : c + chunk_tokens]))
+        n_toks = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # blank docs split to [""] — they produce no chunks
+        first_tok = pc.list_element(toks, 0)
+        blank = pc.fill_null(pc.equal(first_tok, ""), True).to_numpy(zero_copy_only=False)
+        eff = np.where(blank, 0, n_toks)
+        n_chunks = -(-eff // chunk_tokens)  # ceil
+
+        # chunk boundaries as NEW list offsets over the flat token array:
+        # for every doc, offsets at tok_start, tok_start+W, ..., tok_end —
+        # pure index arithmetic, then one list-reconstruct + one binary_join
+        row_off = np.concatenate([[0], np.cumsum(n_toks)])
+        starts = np.repeat(row_off[:-1], n_chunks)
+        within = np.arange(int(n_chunks.sum())) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        chunk_lo = starts + within * chunk_tokens
+        chunk_hi = np.minimum(chunk_lo + chunk_tokens, np.repeat(row_off[1:], n_chunks))
+        if len(chunk_lo) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int32()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        # interleave (lo, hi) pairs as a 2N-offset list array over the flat
+        # tokens: even lists are the chunks, odd lists are inter-chunk gaps
+        flat = pc.list_flatten(toks)
+        pair_offsets = np.empty(2 * len(chunk_lo), dtype=np.int32)
+        pair_offsets[0::2] = chunk_lo
+        pair_offsets[1::2] = chunk_hi
+        lists = pa.ListArray.from_arrays(pa.array(pair_offsets, pa.int32()), flat)
+        chunk_lists = lists.take(pa.array(np.arange(0, len(pair_offsets) - 1, 2)))
+        chunks = pc.binary_join(chunk_lists, " ")
+
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "chunk_idx": pa.array(chunk_idx, pa.int32()),
-                "chunk": pa.array(chunks, pa.string()),
+                "doc_id": pa.array(
+                    np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n_chunks),
+                    pa.int64(),
+                ),
+                "chunk_idx": pa.array(within.astype(np.int32)),
+                "chunk": chunks,
             }
         )
 
