@@ -95,6 +95,27 @@ def test_kill_resume_identical(corpus, tmp_path):
     assert _fingerprint(clean_out) == _fingerprint(resumed_out)
 
 
+def test_resume_redoes_scanned_but_unfinalized_group(corpus, tmp_path):
+    """The deferred-manifest window: a group whose partials were written but
+    whose manifest never landed (kill between scan and finalize) must be
+    redone cleanly on resume, with output identical to a clean run."""
+    from doc_quality_check_ray.pipelines.run import _list_shards, _process_group
+
+    clean_out = tmp_path / "cleanB"
+    run_validation(corpus, str(clean_out), CFG)
+
+    out = tmp_path / "orphan"
+    files = [f for _, f in _list_shards(corpus)]
+    # scan group 00000 but never finalize it (no manifest entry)
+    _process_group("00000", files[:1], out, CFG)
+    assert (out / "partials" / "shard=00000").exists()
+    assert not (out / "_manifest" / "shard-00000.json").exists()
+
+    final = run_validation(corpus, str(out), CFG)
+    assert final["partial"] is False and final["processed"] == 4
+    assert _fingerprint(clean_out) == _fingerprint(out)
+
+
 def test_resume_skips_everything_when_complete(corpus, tmp_path):
     out = tmp_path / "out2"
     run_validation(corpus, str(out), CFG)
