@@ -457,11 +457,17 @@ def q_threshold_sweep(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa
             }
         )
 
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=cfg.batch_size
+    # merge the per-batch 5-row partials in the exchange, not on the driver
+    # (O(batches) partial rows is 75M rows at 10^12 turns)
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size),
+        ["threshold"],
+        {"n_below": ("n_below", "sum"), "n_rows": ("n_rows", "sum")},
+        num_buckets=4,
     ).to_pandas()
-    out = parts.groupby("threshold", as_index=False)[["n_below", "n_rows"]].sum()
-    return pa.Table.from_pandas(out.sort_values("threshold", ignore_index=True), preserve_index=False)
+    return pa.Table.from_pandas(
+        merged.sort_values("threshold", ignore_index=True), preserve_index=False
+    )
 
 
 def all_violations(
