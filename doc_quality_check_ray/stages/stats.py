@@ -82,17 +82,55 @@ def n_distinct_conversations(
     ).count()
 
 
+def _merge_partial_rows(t: pa.Table) -> pa.Table:
+    """N partial-stat rows → 1 (runs inside tasks as a tree-reduce level)."""
+    rows = t.to_pylist()
+    roles = sorted({r for p in rows for r in p["roles"]})
+
+    def s(k):
+        return sum(p[k] for p in rows if p[k] is not None)
+
+    def mn(k):
+        vals = [p[k] for p in rows if p[k] is not None]
+        return min(vals) if vals else None
+
+    def mx(k):
+        vals = [p[k] for p in rows if p[k] is not None]
+        return max(vals) if vals else None
+
+    merged = {
+        "n_rows": [s("n_rows")],
+        "null_text": [s("null_text")],
+        "null_role": [s("null_role")],
+        "null_tool": [s("null_tool")],
+        "null_ts": [s("null_ts")],
+        "min_text_len": [mn("min_text_len")],
+        "max_text_len": [mx("max_text_len")],
+        "sum_text_len": [s("sum_text_len")],
+        "min_ts": [mn("min_ts")],
+        "max_ts": [mx("max_ts")],
+        "roles": [roles],
+    }
+    return pa.table(merged, schema=t.schema)
+
+
 def column_stats(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> pa.Table:
     """One-row stats table over a transcript Dataset (drives the drift check
     snapshot and the verdict manifest's stats block)."""
-    partials = ds.map_batches(
-        _partial_stats,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
-    ).take_all()  # one tiny row per batch
+    partials = (
+        ds.map_batches(
+            _partial_stats,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
+        # tree-reduce level: 128 partial rows merge to 1 inside tasks, so the
+        # driver folds O(batches/128) rows, never O(batches)
+        .map_batches(_merge_partial_rows, batch_format="pyarrow", batch_size=128)
+        .take_all()
+    )
 
     roles: set[str] = set()
     agg = {k: [] for k in partials[0] if k != "roles"}
