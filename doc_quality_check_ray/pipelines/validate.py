@@ -473,12 +473,15 @@ def q_threshold_sweep(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa
 def all_violations(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
-    """Union of every violation source in the shared violation-row format."""
-    return (
-        row_checks(ds, cfg)
-        .union(duplicate_key_violations(ds, cfg))
-        .union(turn_gap_violations(ds, cfg))
-    )
+    """Union of every violation source in the shared violation-row format.
+
+    Key findings (duplicates + gaps) come from ONE fused conv-keyed exchange
+    (:func:`~doc_quality_check_ray.stages.keys.key_finding_violations`) —
+    the previous three-lineage union re-derived the input once per family.
+    """
+    from ..stages.keys import key_finding_violations
+
+    return row_checks(ds, cfg).union(key_finding_violations(ds, cfg))
 
 
 def q_all_violations(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):

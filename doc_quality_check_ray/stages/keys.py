@@ -193,6 +193,93 @@ def conversation_stats_salted(
     )
 
 
+def key_finding_violations(
+    ds: ray.data.Dataset,
+    cfg: ValidationConfig = DEFAULT_CONFIG,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """BOTH key-level finding families (duplicate_key + turn_gap) in
+    violation-row format from ONE derivation and ONE conv-keyed exchange —
+    the query-path twin of ``run.py``'s phase-2 ``bucket_findings``.
+
+    The per-batch (conv, turn) combiner bounds shuffle volume; bucketing on
+    conv_id puts each conversation whole into one reduce task so duplicates
+    and contiguity fall out of a single local merge. Assumption: one
+    conversation's distinct keys fit one task (the order-free
+    :func:`conversation_stats_salted` path is the fallback for adversarial
+    mega-conversations).
+    """
+    import numpy as np
+    import pandas as pd
+
+    partials = ds.map_batches(
+        _partial_key_counts,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def findings(g: pd.DataFrame) -> pa.Table:
+        kc = (
+            g.groupby(["conv_id", "turn_idx"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        dup = kc[kc["cnt"] > 1]
+        conv = (
+            kc.groupby("conv_id", sort=False)
+            .agg(
+                n=("cnt", "sum"),
+                n_distinct=("cnt", "size"),
+                min_idx=("turn_idx", "min"),
+                max_idx=("turn_idx", "max"),
+            )
+            .reset_index()
+        )
+        bad = conv[
+            ~(
+                (conv["min_idx"] == 0)
+                & (conv["max_idx"] == conv["n_distinct"] - 1)
+                & (conv["n"] == conv["n_distinct"])
+            )
+        ]
+        dup_detail = "n=" + dup["cnt"].astype(str)
+        gap_detail = (
+            "n=" + bad["n"].astype(str)
+            + ",distinct=" + bad["n_distinct"].astype(str)
+            + ",min=" + bad["min_idx"].astype(str)
+            + ",max=" + bad["max_idx"].astype(str)
+        )
+        nd, nb = len(dup), len(bad)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    list(dup["conv_id"]) + list(bad["conv_id"]), pa.string()
+                ),
+                "turn_idx": pa.array(
+                    list(dup["turn_idx"].astype("int32")) + [-1] * nb, pa.int32()
+                ),
+                "check_id": pa.array([CHECK_DUP] * nd + [CHECK_GAP] * nb, pa.string()),
+                "detail": pa.array(list(dup_detail) + list(gap_detail), pa.string()),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+
+    return (
+        partials.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(findings, batch_format="pandas")
+    )
+
+
 def turn_gaps(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
