@@ -130,14 +130,22 @@ def q_hourly_event_counts(sf_dir: str):
         g = t.group_by("hour").aggregate([("n", "sum"), ([], "count_all")])
         return g.rename_columns(["hour", "n", "n_users"])
 
-    # hour-level final combine (tiny domain): per-block partial + one merge
-    final = hash_bucket_aggregate(
-        per_user.map_batches(rollup, batch_format="pyarrow"),
-        ["hour"],
-        {"n": ("n", "sum"), "n_users": ("n_users", "sum")},
-        num_buckets=4,
+    # each (hour, user) pair exists exactly once after the exchange, so
+    # block-level rollups are disjoint partials — the final merge is bounded
+    # by hours × blocks (KB-scale), no second exchange needed
+    parts = per_user.map_batches(rollup, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("hour", as_index=False)[["n", "n_users"]]
+        .sum()
+        .sort_values("hour", ignore_index=True)
     )
-    return final
+    return pa.table(
+        {
+            "hour": pa.array(out["hour"], pa.timestamp("us")),
+            "n": pa.array(out["n"].astype("int64")),
+            "n_users": pa.array(out["n_users"].astype("int64")),
+        }
+    )
 
 
 SQL_HOURLY_EVENT_COUNTS = """

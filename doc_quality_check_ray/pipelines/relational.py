@@ -120,11 +120,20 @@ def q_events_by_nation(sf_dir: str):
         g = t.group_by("n_name").aggregate([("n", "sum"), ([], "count_all")])
         return g.rename_columns(["n_name", "n_events", "n_users"])
 
-    return hash_bucket_aggregate(
-        per_user.map_batches(rollup, batch_format="pyarrow"),
-        ["n_name"],
-        {"n_events": ("n_events", "sum"), "n_users": ("n_users", "sum")},
-        num_buckets=4,
+    # (n_name, user) pairs are globally unique after the exchange → block
+    # rollups are disjoint partials; final merge bounded by nations × blocks
+    parts = per_user.map_batches(rollup, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("n_name", as_index=False)[["n_events", "n_users"]]
+        .sum()
+        .sort_values("n_name", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "n_events": pa.array(out["n_events"].astype("int64")),
+            "n_users": pa.array(out["n_users"].astype("int64")),
+        }
     )
 
 
