@@ -28,12 +28,7 @@ from ..functions.rounding import (
 )
 from ..stages.exchange import hash_bucket_aggregate
 from ..sources.transcripts import derive_transcripts
-from ..stages.keys import (
-    duplicate_key_violations,
-    duplicate_keys,
-    turn_gap_violations,
-    turn_gaps,
-)
+from ..stages.keys import duplicate_keys, turn_gaps
 from ..stages.row_checks import row_checks, verdicts
 from ..stages.stats import column_stats
 

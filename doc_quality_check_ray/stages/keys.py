@@ -84,27 +84,6 @@ def duplicate_keys(
     return key_counts(ds, cfg).map_batches(keep_dups, batch_format="pyarrow")
 
 
-def duplicate_key_violations(
-    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
-) -> ray.data.Dataset:
-    """Duplicate keys in violation-row format (check_id=duplicate_key)."""
-
-    def fmt(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "conv_id": t["conv_id"],
-                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
-                "check_id": pa.array([CHECK_DUP] * t.num_rows, pa.string()),
-                "detail": pc.binary_join_element_wise(
-                    "n=", pc.cast(t["n_dups"], pa.string()), ""
-                ),
-            },
-            schema=VIOLATION_SCHEMA,
-        )
-
-    return duplicate_keys(ds, cfg).map_batches(fmt, batch_format="pyarrow")
-
-
 def conversation_stats(
     ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
@@ -305,33 +284,3 @@ def turn_gaps(
         )
 
     return conversation_stats(ds, cfg).map_batches(keep_gaps, batch_format="pyarrow")
-
-
-def turn_gap_violations(
-    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
-) -> ray.data.Dataset:
-    """Turn gaps in violation-row format; ``turn_idx=-1`` marks conv-level."""
-
-    def fmt(t: pa.Table) -> pa.Table:
-        detail = pc.binary_join_element_wise(
-            "n=",
-            pc.cast(t["n"], pa.string()),
-            ",distinct=",
-            pc.cast(t["n_distinct"], pa.string()),
-            ",min=",
-            pc.cast(t["min_idx"], pa.string()),
-            ",max=",
-            pc.cast(t["max_idx"], pa.string()),
-            "",
-        )
-        return pa.table(
-            {
-                "conv_id": t["conv_id"],
-                "turn_idx": pa.array([-1] * t.num_rows, pa.int32()),
-                "check_id": pa.array([CHECK_GAP] * t.num_rows, pa.string()),
-                "detail": detail,
-            },
-            schema=VIOLATION_SCHEMA,
-        )
-
-    return turn_gaps(ds, cfg).map_batches(fmt, batch_format="pyarrow")
