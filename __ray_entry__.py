@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_subtoken_counts": D.q_subtoken_counts,
         "t_top_terms_by_source": D.q_top_terms_by_source,
         "d_sample_documents": D.q_sample_documents,
+        "d_decontaminate": D.q_decontaminate,
         "mm_decode": D.q_mm_decode,
         "d_chunk_documents": D.q_chunk_documents,
         # transcript-table extras
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "t_subtoken_counts": O.sql_subtoken_counts(D.SUBTOKEN_RE2),
         "t_top_terms_by_source": O.sql_top_terms_by_source(),
         "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
+        "d_decontaminate": O.sql_decontaminate(D.SAMPLE_HEX_LT),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
         "r_pricing_summary": R.SQL_PRICING_SUMMARY,
         "r_events_by_nation": R.SQL_EVENTS_BY_NATION,

@@ -70,6 +70,16 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the corpus anti-joined on content md5
+    against a blocklist (here the deterministic hash-sample stands in for a
+    benchmark set). Distributed fingerprint-bucket anti-join — the
+    test-set-overlap removal a training pipeline runs before every bake."""
+    from ..stages.dedup import decontaminate
+
+    return decontaminate(_docs(sf_dir), q_sample_documents(sf_dir))
+
+
 def q_winnow_pairs(sf_dir: str):
     """Rolling-hash (winnowing) copy-detection pairs: docs sharing ≥8
     selected fingerprints (long verbatim overlap). No SQL oracle (rolling

@@ -287,6 +287,19 @@ FROM documents
 """
 
 
+def sql_decontaminate(hex_lt: str) -> str:
+    """Anti-join twin: corpus rows whose content md5 is absent from the
+    hash-sample blocklist (NOT IN null semantics drop null-text rows)."""
+    return f"""
+SELECT d.doc_id, d.text FROM documents d
+WHERE md5(d.text) NOT IN (
+  SELECT md5(text) FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}'
+    AND text IS NOT NULL
+)
+"""
+
+
 def sql_sample_documents(hex_lt: str) -> str:
     return f"""
 SELECT doc_id, text FROM documents

@@ -576,6 +576,73 @@ def simhash_pairs(
     return pa.Table.from_pandas(verified, preserve_index=False)
 
 
+def decontaminate(
+    corpus: ray.data.Dataset,
+    blocklist: ray.data.Dataset,
+    text_col: str = "text",
+    block_text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Training-corpus decontamination: drop corpus rows whose normalized
+    content fingerprint appears in ``blocklist`` (the benchmark/test-set
+    overlap removal every training pipeline needs).
+
+    Distributed ANTI-JOIN on md5 fingerprints: both sides are tagged and
+    hash-bucketed by fingerprint, each bucket drops corpus rows matching a
+    local blocklist fingerprint. No broadcast (the blocklist may be large)
+    and no driver materialization. SQL ``NOT IN`` null semantics: null-text
+    corpus rows are dropped (NULL NOT IN (...) is never true).
+    """
+    import polars as pl
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            col = text_col if side == 1 else block_text_col
+            fp = pa.array(md5_fingerprints(t[col].to_pylist()), pa.string())
+            h = pl.from_arrow(pa.table({"f": fp})).hash_rows(seed=11).to_numpy()
+            cols = {c: t[c] for c in t.column_names} if side == 1 else {}
+            cols["__fp"] = fp
+            cols["__side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            cols["__bucket"] = pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    corpus_schema = pa.schema(list(corpus.schema().base_schema))
+    corpus_cols = [f.name for f in corpus_schema]
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        block_fps = set(g.loc[g["__side"] == 0, "__fp"])
+        keep = g[(g["__side"] == 1) & g["__fp"].notna() & ~g["__fp"].isin(block_fps)]
+        # the null-padded blocklist rows float-taint int columns in pandas;
+        # cast back to the corpus schema (values are all side-1, no nulls)
+        return pa.Table.from_pandas(
+            keep[corpus_cols], schema=corpus_schema, preserve_index=False
+        )
+
+    # blocklist rows carry only the join key — pad the corpus columns with
+    # typed nulls so the union has one schema
+    def pad_block(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in corpus.schema().base_schema:
+            cols[f.name] = t[f.name] if f.name in t.column_names else pa.nulls(
+                t.num_rows, f.type
+            )
+        for extra in ("__fp", "__side", "__bucket"):
+            cols[extra] = t[extra]
+        return pa.table(cols)
+
+    tagged_corpus = corpus.map_batches(tag(1), batch_format="pyarrow")
+    tagged_block = blocklist.map_batches(tag(0), batch_format="pyarrow").map_batches(
+        pad_block, batch_format="pyarrow"
+    )
+    return (
+        tagged_corpus.union(tagged_block)
+        .groupby("__bucket")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing (rolling-hash) fingerprint near-dup
 # ---------------------------------------------------------------------------
