@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_sample_documents": D.q_sample_documents,
         "d_decontaminate": D.q_decontaminate,
         "mm_decode": D.q_mm_decode,
+        "mm_frame_sample": D.q_mm_frame_sample,
         "d_chunk_documents": D.q_chunk_documents,
         # transcript-table extras
         "v_ts_regressions": V.q_ts_regressions,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "r_pricing_summary": R.SQL_PRICING_SUMMARY,
         "r_events_by_nation": R.SQL_EVENTS_BY_NATION,
         "mm_decode": O.sql_mm_decode(),
+        "mm_frame_sample": O.sql_mm_frame_sample(),
         "d_chunk_documents": O.sql_chunk_documents(),
         "v_ts_regressions": O.sql_ts_regressions(),
         "v_role_sequences": O.sql_role_sequences(),

@@ -379,6 +379,14 @@ def q_mm_decode(sf_dir: str):
     return decode_stage(attach_fake_payloads(_docs(sf_dir)))
 
 
+def q_mm_frame_sample(sf_dir: str):
+    """Frame sampling (video analog): 1 doc → ≤8 stride-offset windows via
+    the actor-pool flat-map stage. (doc_id, frame_idx, frame)."""
+    from ..stages.multimodal import frame_sample_stage
+
+    return frame_sample_stage(_docs(sf_dir))
+
+
 def q_chunk_documents(sf_dir: str, chunk_tokens: int = 32):
     """Token-window chunking — the flat-map explode analog (F1/F8,
     ``modules/document_segmentation.py:514-566``): each document becomes

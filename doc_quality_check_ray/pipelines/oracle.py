@@ -394,6 +394,25 @@ WHERE {jac} >= {threshold}
 """
 
 
+def sql_mm_frame_sample(frame_len: int = 64, stride: int = 48, max_frames: int = 8) -> str:
+    """Twin of the frame-sampling flat-map: up to max_frames stride-offset
+    code-point windows per document."""
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           least({max_frames - 1},
+                 CAST(floor((length(text) - {frame_len}) / {stride}) AS INTEGER))
+         )) AS frame_idx
+  FROM documents
+  WHERE length(text) >= {frame_len}
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       substring(text, frame_idx * {stride} + 1, {frame_len}) AS frame
+FROM f
+"""
+
+
 def sql_ts_regressions(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     return (
         TRANSCRIPTS_CTE

@@ -87,6 +87,78 @@ class FakeImageCodec:
         )
 
 
+class FrameSampler:
+    """Frame-sampling stage (the video frame-sample analog): each document
+    explodes into up to ``max_frames`` fixed-length windows at ``stride``
+    offsets — a 1→N flat-map run as an actor pool (setup once per actor,
+    vectorized slicing per batch; ``max_frames`` Arrow kernel passes, no
+    Python rows).
+
+    Frames are code-point windows over ``text`` (the sandbox stand-in for
+    byte-range frame extraction from a real container format); a real
+    demuxer swaps in behind the same actor contract.
+    """
+
+    def __init__(self, frame_len: int = 64, stride: int = 48, max_frames: int = 8):
+        self.frame_len = frame_len
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lens = pc.fill_null(pc.utf8_length(t["text"]), 0)
+        parts = []
+        for k in range(self.max_frames):
+            off = k * self.stride
+            mask = pc.greater_equal(lens, off + self.frame_len)
+            hit = t.filter(mask)
+            if hit.num_rows == 0:
+                break
+            frame = pc.utf8_slice_codeunits(
+                hit["text"], start=off, stop=off + self.frame_len
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": hit["doc_id"],
+                        "frame_idx": pa.array([k] * hit.num_rows, pa.int32()),
+                        "frame": frame,
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int32()),
+                    "frame": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+
+def frame_sample_stage(
+    ds: ray.data.Dataset,
+    frame_len: int = 64,
+    stride: int = 48,
+    max_frames: int = 8,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Actor-pool frame sampling over a document Dataset."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={
+            "frame_len": frame_len,
+            "stride": stride,
+            "max_frames": max_frames,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(2, 8),
+        num_cpus=0.5,
+        zero_copy_batch=True,
+    )
+
+
 class PillowImageCodec:
     """Real-decoder slot — intentionally unimplemented in this container."""
 
