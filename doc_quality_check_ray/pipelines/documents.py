@@ -176,6 +176,7 @@ def q_top_terms(sf_dir: str, top_k: int = 50):
         flat = pc.list_flatten(toks)
         g = (
             pa.table({"token": flat})
+            .filter(pc.not_equal(flat, ""))  # blank docs contribute no tokens
             .group_by("token")
             .aggregate([([], "count_all")])
             .rename_columns(["token", "n"])

@@ -255,11 +255,15 @@ def sql_fingerprints() -> str:
 
 
 def sql_top_terms(top_k: int = 50) -> str:
+    # token <> '' (not a space-only trim() on the doc) keeps both twins in
+    # agreement on arbitrary whitespace: DuckDB trim() strips spaces only,
+    # so tab/newline-framed text would otherwise yield empty tokens here
+    # that the engine's utf8_trim_whitespace + token filter never produces.
     return f"""
 SELECT token, count(*) AS n FROM (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-  FROM documents WHERE trim(coalesce(text, '')) <> ''
-) GROUP BY token ORDER BY n DESC, token LIMIT {top_k}
+  FROM documents
+) WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT {top_k}
 """
 
 
@@ -308,12 +312,13 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}'
 
 
 def sql_top_terms_by_source(k: int = 5) -> str:
+    # token <> '' instead of a space-only trim() guard — see sql_top_terms
     return r"""
 WITH c AS (
   SELECT source, token, count(*) AS n FROM (
     SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-    FROM documents WHERE trim(coalesce(text, '')) <> ''
-  ) GROUP BY 1, 2
+    FROM documents
+  ) WHERE token <> '' GROUP BY 1, 2
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rn
   FROM c

@@ -265,14 +265,15 @@ def _phase2_global(
         Returns a typed Arrow table (typed even when empty, so downstream
         schema inference and size estimation never see object dtypes).
         """
+        # dropna=False: null keys are real groups (DuckDB GROUP BY keeps them)
         kc = (
-            g.groupby(["conv_id", "turn_idx"], sort=False)
+            g.groupby(["conv_id", "turn_idx"], sort=False, dropna=False)
             .size()
             .reset_index(name="cnt")
         )
         dup = kc[kc["cnt"] > 1]
         conv = (
-            kc.groupby("conv_id", sort=False)
+            kc.groupby("conv_id", sort=False, dropna=False)
             .agg(
                 n=("cnt", "sum"),
                 n_distinct=("cnt", "size"),

@@ -350,7 +350,8 @@ def minhash_lsh_pairs(
     shingle → minhash → banded signatures → band-bucket exchange →
     candidate pairs → exact-Jaccard verification. Verification is adaptive
     (the broadcast-vs-shuffle join decision): with ``verify="auto"`` a
-    candidate set at most ``max_driver_pairs`` (after dedup) verifies
+    candidate set whose PRE-dedup count is at most ``max_driver_pairs``
+    (a conservative bound — cross-bucket dedup only shrinks it) verifies
     driver-side against a bounded shingle lookup — the fast path when
     near-dups are rare — while anything larger takes the fully distributed
     hash-bucket joins of :func:`_verify_pairs_distributed` (no
@@ -507,6 +508,8 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 256,
+    dedup: str = "auto",
+    max_driver_pairs: int = 65_536,
 ) -> pa.Table:
     """Near-dup pairs by SimHash: 4×16-bit band buckets → Hamming verify.
 
@@ -520,7 +523,11 @@ def simhash_pairs(
     Hamming distance is computed inside the bucket reducers (both hashes are
     present there); pair dedup across the 4 chunk buckets is a distributed
     hash-bucket drop-duplicates. The only driver collect is the final
-    verified pair set.
+    verified pair set. ``dedup`` mirrors minhash's ``verify`` knob:
+    ``"auto"`` dedups driver-side while the (pre-dedup) candidate count is
+    at most ``max_driver_pairs`` — a conservative driver-memory bound — and
+    distributed above it; ``"distributed"`` forces the scale path (used by
+    the path-equivalence test).
     """
     sk = simhash_sketches(ds, text_col, id_col)
 
@@ -563,7 +570,7 @@ def simhash_pairs(
     )
     # adaptive dedup across the 4 chunk buckets (same gate as minhash):
     # small candidate sets dedup driver-side, large ones distributed
-    if cand.count() <= 65_536:
+    if dedup != "distributed" and cand.count() <= max_driver_pairs:
         verified = cand.to_pandas().drop_duplicates(["a_id", "b_id"])
     else:
         verified = _dedup_pairs(cand).to_pandas()

@@ -207,14 +207,16 @@ def key_finding_violations(
         )
 
     def findings(g: pd.DataFrame) -> pa.Table:
+        # dropna=False: null keys are real groups (DuckDB GROUP BY keeps
+        # them) — matches exchange.py's merge semantics
         kc = (
-            g.groupby(["conv_id", "turn_idx"], sort=False)["cnt"]
+            g.groupby(["conv_id", "turn_idx"], sort=False, dropna=False)["cnt"]
             .sum()
             .reset_index()
         )
         dup = kc[kc["cnt"] > 1]
         conv = (
-            kc.groupby("conv_id", sort=False)
+            kc.groupby("conv_id", sort=False, dropna=False)
             .agg(
                 n=("cnt", "sum"),
                 n_distinct=("cnt", "size"),

@@ -88,7 +88,10 @@ def _merge_partial_rows(t: pa.Table) -> pa.Table:
     roles = sorted({r for p in rows for r in p["roles"]})
 
     def s(k):
-        return sum(p[k] for p in rows if p[k] is not None)
+        # all-None → None (SQL NULL-sum semantics: e.g. sum_text_len on an
+        # all-null-text shard must stay NULL, not coerce to 0), like mn/mx
+        vals = [p[k] for p in rows if p[k] is not None]
+        return sum(vals) if vals else None
 
     def mn(k):
         vals = [p[k] for p in rows if p[k] is not None]
@@ -132,6 +135,17 @@ def column_stats(
         .take_all()
     )
 
+    if not partials:  # empty Dataset → DuckDB empty-input semantics:
+        # count(*) = 0 but every sum/min/max aggregate is NULL
+        partials = [
+            {
+                "n_rows": 0, "null_text": None, "null_role": None,
+                "null_tool": None, "null_ts": None, "min_text_len": None,
+                "max_text_len": None, "sum_text_len": None, "min_ts": None,
+                "max_ts": None, "roles": [],
+            }
+        ]
+
     roles: set[str] = set()
     agg = {k: [] for k in partials[0] if k != "roles"}
     for p in partials:
@@ -140,7 +154,8 @@ def column_stats(
             agg[k].append(p[k])
 
     def s(k):
-        return sum(v for v in agg[k] if v is not None)
+        vals = [v for v in agg[k] if v is not None]
+        return sum(vals) if vals else None
 
     def mn(k):
         vals = [v for v in agg[k] if v is not None]

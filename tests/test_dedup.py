@@ -104,6 +104,15 @@ def test_simhash_finds_exact_dup():
     assert d == 0
 
 
+def test_simhash_distributed_dedup_matches_driver_path():
+    """The distributed pair-dedup branch (the scale path, normally gated
+    behind max_driver_pairs candidates) must produce exactly the driver
+    path's result."""
+    fast = simhash_pairs(_corpus(), max_hamming=3).to_pandas()
+    dist = simhash_pairs(_corpus(), max_hamming=3, dedup="distributed").to_pandas()
+    assert fast.values.tolist() == dist.values.tolist()
+
+
 def test_recall_queries_measure_against_exact_twins(sf_dir):
     from doc_quality_check_ray.pipelines.documents import (
         q_minhash_recall,
