@@ -39,6 +39,17 @@ COSINE_THRESHOLD = 0.8
 #: below this cheap (alpha-ratio) score a row earns the expensive rescore
 TWO_TIER_CUTOFF = 0.82
 
+#: near-dup planting over the embeddings corpus (VERDICT r2: the raw corpus
+#: has zero cosine pairs at the threshold, so the near-dup oracle rows and
+#: the LSH recall meter were trivially green). Each vec_id < K gets a twin
+#: at id+OFFSET with vector v + ALPHA·rot1(v) — cosine to its source ≈
+#: 1/√(1+ALPHA²) ≈ 0.957 (vs ≤0.48 for any unrelated pair on this corpus),
+#: deterministic, and expressible identically in DuckDB list arithmetic so
+#: the exact oracle verifies the planted pairs value-for-value.
+PLANT_NEAR_DUP_K = 8
+PLANT_NEAR_DUP_ALPHA = 0.3
+PLANT_NEAR_DUP_OFFSET = 1_000_000
+
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -46,6 +57,44 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
 
 def _embs(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _embs_planted(sf_dir: str) -> ray.data.Dataset:
+    """Embeddings corpus with K planted near-dup twins (see PLANT_NEAR_DUP_*).
+
+    One map pass emits every original row (cast to float64, the compute
+    dtype) plus, for vec_id < K, a twin at id+OFFSET whose vector is
+    ``v + ALPHA · roll(v, -1)`` — elementwise float64 ops that DuckDB's
+    ``list_transform`` reproduces bit-for-bit.
+    """
+    import numpy as np
+
+    ds = _embs(sf_dir)
+
+    def plant(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0])
+        M = emb.values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ids < PLANT_NEAR_DUP_K
+        twins = M[mask] + PLANT_NEAR_DUP_ALPHA * np.roll(M[mask], -1, axis=1)
+        out_ids = np.concatenate([ids, ids[mask] + PLANT_NEAR_DUP_OFFSET])
+        flat = np.concatenate([M, twins]).ravel()
+        offsets = pa.array(
+            np.arange(0, (len(out_ids) + 1) * dim, dim, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.LargeListArray.from_arrays(
+                    offsets, pa.array(flat, pa.float64())
+                ),
+            }
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # -- dedup ------------------------------------------------------------------
@@ -96,11 +145,14 @@ def q_knn(sf_dir: str):
 
 
 def q_cosine_near_dup(sf_dir: str):
-    return cosine_near_dup_pairs(_embs(sf_dir), threshold=COSINE_THRESHOLD)
+    """Exact cosine near-dup pairs over the corpus + planted twins — the
+    SQL-verified ground truth the LSH variant's recall is measured against
+    (nonzero by construction: the K planted pairs)."""
+    return cosine_near_dup_pairs(_embs_planted(sf_dir), threshold=COSINE_THRESHOLD)
 
 
 def q_lsh_near_dup(sf_dir: str):
-    return lsh_bucket_near_dup(_embs(sf_dir), threshold=COSINE_THRESHOLD)
+    return lsh_bucket_near_dup(_embs_planted(sf_dir), threshold=COSINE_THRESHOLD)
 
 
 def q_ivf_knn(sf_dir: str):
@@ -245,9 +297,14 @@ def q_simhash_recall(sf_dir: str):
 
 def q_lsh_recall(sf_dir: str):
     """Recall of hyperplane-LSH cosine near-dup pairs vs the exact
-    blocked-matmul baseline at the same threshold."""
-    exact = _pair_set(cosine_near_dup_pairs(_embs(sf_dir), threshold=COSINE_THRESHOLD))
-    approx = _pair_set(lsh_bucket_near_dup(_embs(sf_dir), threshold=COSINE_THRESHOLD))
+    blocked-matmul baseline at the same threshold, over the corpus with
+    planted twins — n_exact ≥ K by construction, so this meter can fail."""
+    exact = _pair_set(
+        cosine_near_dup_pairs(_embs_planted(sf_dir), threshold=COSINE_THRESHOLD)
+    )
+    approx = _pair_set(
+        lsh_bucket_near_dup(_embs_planted(sf_dir), threshold=COSINE_THRESHOLD)
+    )
     return _recall_row(exact, approx)
 
 

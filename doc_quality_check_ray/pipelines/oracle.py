@@ -221,15 +221,47 @@ SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine FROM r WHERE rn <= {k}
 """
 
 
-def sql_cosine_near_dup(threshold: float = 0.8) -> str:
+def sql_embeddings_planted_cte(k: int, alpha: float, offset: int) -> str:
+    """CTE ``emb(vec_id, v DOUBLE[])`` = corpus + the K planted near-dup
+    twins — float64 elementwise twin of ``documents._embs_planted``:
+    cast-to-double FIRST, then ``v[j] + alpha·v[(j mod d)+1]`` (the 1-based
+    rotate matching numpy ``roll(v, -1)``)."""
     return f"""
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 5) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= {threshold}
+WITH _e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), emb AS (
+  SELECT vec_id, v FROM _e
+  UNION ALL
+  SELECT vec_id + {offset},
+         list_transform(generate_series(1, len(v)),
+                        j -> v[j] + CAST({alpha} AS DOUBLE) * v[(j % len(v)) + 1])
+  FROM _e WHERE vec_id < {k}
+)
 """
+
+
+def sql_cosine_near_dup(
+    threshold: float = 0.8,
+    plant: tuple[int, float, int] | None = None,
+) -> str:
+    from .documents import (
+        PLANT_NEAR_DUP_ALPHA,
+        PLANT_NEAR_DUP_K,
+        PLANT_NEAR_DUP_OFFSET,
+    )
+
+    k, alpha, offset = plant or (
+        PLANT_NEAR_DUP_K, PLANT_NEAR_DUP_ALPHA, PLANT_NEAR_DUP_OFFSET
+    )
+    return (
+        sql_embeddings_planted_cte(k, alpha, offset)
+        + f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+"""
+    )
 
 
 def sql_token_stats() -> str:

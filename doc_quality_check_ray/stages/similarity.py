@@ -165,30 +165,44 @@ def lsh_bucket_near_dup(
     ds: ray.data.Dataset,
     threshold: float = 0.8,
     n_planes: int = 12,
+    n_tables: int = 8,
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> pa.Table:
-    """Approximate near-dup pairs: random-hyperplane signature → bucket
-    groupby → exact cosine within buckets. Recall < 1 by design; the shuffle
-    moves (bucket, id, vector) rows instead of a quadratic candidate set."""
+    """Approximate near-dup pairs: random-hyperplane signatures → bucket
+    groupby → exact cosine within buckets. ``n_tables`` independent hash
+    tables (the standard LSH OR-amplification): a pair is a candidate if it
+    collides in ANY table, so per-pair recall is 1-(1-p^b)^L for collision
+    probability p = 1-θ/π per plane — at cosine 0.95 and (12 planes, 8
+    tables) that is ≈0.95 vs ≈0.31 for a single table. The shuffle moves
+    L·(bucket, id, vector) rows — still linear in the corpus, never the
+    quadratic candidate set; cross-table pair dedup happens in the final
+    drop_duplicates."""
     import pandas as pd
 
     def bucketize(t: pa.Table) -> pa.Table:
-        # planes are re-derived from the seed per batch (cheap: n_planes × dim)
-        # so no state needs to ship; identical across batches by construction.
+        # planes are re-derived from the seed per batch (cheap: L × n_planes
+        # × dim) so no state ships; identical across batches by construction.
         M = _unit(_matrix(t, vec_col))
-        planes = np.random.default_rng(seed).standard_normal((n_planes, M.shape[1]))
-        bits = (M @ planes.T) > 0
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        bucket = bits @ weights
-        return pa.table(
-            {
-                "bucket": pa.array(bucket.astype(np.int64)),
-                id_col: t[id_col],
-                vec_col: t[vec_col],
-            }
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_tables, n_planes, M.shape[1])
         )
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        parts = []
+        for ti in range(n_tables):
+            bits = (M @ planes[ti].T) > 0
+            bucket = (bits @ weights) + (ti << n_planes)
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(bucket.astype(np.int64)),
+                        id_col: t[id_col],
+                        vec_col: t[vec_col],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

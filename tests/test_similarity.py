@@ -90,3 +90,26 @@ def test_ivf_knn_deterministic():
     a = ivf_knn(ds, query_ids=[3, 9], k=5).to_pandas()
     b = ivf_knn(ds, query_ids=[3, 9], k=5).to_pandas()
     assert a.equals(b)
+
+
+def test_planted_corpus_near_dup_pairs(sf_dir):
+    """The driver-visible embeddings corpus (with planted twins) has exactly
+    the K planted pairs at the threshold — so d_cosine_near_dup's oracle rows
+    are nonzero and d_lsh_recall measures a nonempty exact set."""
+    from doc_quality_check_ray.pipelines.documents import (
+        PLANT_NEAR_DUP_K,
+        PLANT_NEAR_DUP_OFFSET,
+        q_cosine_near_dup,
+        q_lsh_recall,
+    )
+
+    pairs = q_cosine_near_dup(sf_dir).to_pandas()
+    want = {
+        (i, i + PLANT_NEAR_DUP_OFFSET) for i in range(PLANT_NEAR_DUP_K)
+    }
+    assert set(zip(pairs.a_id, pairs.b_id)) == want
+    assert (pairs.cosine > 0.9).all()
+
+    rec = q_lsh_recall(sf_dir).to_pylist()[0]
+    assert rec["n_exact"] == PLANT_NEAR_DUP_K
+    assert 0.0 <= rec["recall"] <= 1.0
