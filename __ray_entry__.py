@@ -97,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "v_partition_verdicts": O.sql_partition_verdicts(),
         "v_all_violations": O.sql_all_violations(),
         "v_role_drift": O.sql_role_drift(),
+        "v_drift_report": O.sql_drift_report(),
         "d_exact_dedup": O.SQL_EXACT_DEDUP,
         "d_knn": O.sql_knn(D.KNN_QUERY_IDS, D.KNN_K),
         "d_cosine_near_dup": O.sql_cosine_near_dup(D.COSINE_THRESHOLD),

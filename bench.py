@@ -46,6 +46,8 @@ QUERY_NAMES = [
     "t_fingerprints",
     "t_two_tier_scores",
     "d_winnow_pairs",
+    "d_sample_documents",
+    "mm_frame_sample",
     "e_user_sessions",
     "e_hourly_event_counts",
     "r_pricing_summary",

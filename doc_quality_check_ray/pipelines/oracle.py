@@ -152,6 +152,68 @@ FROM _j
     )
 
 
+def sql_drift_report(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Exact twin of ``validate.q_drift_report``: snapshot = even-conversation
+    half, current = full corpus; smoothed PSI/KL over the union role domain
+    and the fixed-edge text-length histogram (bucket i of value v = number of
+    interior edges ≤ v, matching ``sketches.Histogram.of``'s searchsorted).
+
+    The drifted gate compares the UNROUNDED scores, like the engine."""
+    edges = cfg.length_hist_buckets
+    n_buckets = len(edges)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN length(text) >= {e} THEN 1 ELSE 0 END)" for e in edges[1:]
+    )
+    thr = cfg.psi_threshold
+    return (
+        TRANSCRIPTS_CTE
+        + f""",
+_role AS (
+  SELECT CAST(substring(conv_id, 2) AS BIGINT) % 2 AS half,
+         coalesce(role, '<null>') AS r, count(*) AS n
+  FROM transcripts GROUP BY 1, 2
+),
+_rtot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS t_all,
+         CAST(sum(CASE WHEN half = 0 THEN n END) AS DOUBLE) AS t_even
+  FROM _role
+),
+_rdom AS (SELECT DISTINCT r FROM _role),
+_rj AS (
+  SELECT greatest(coalesce(p.n_all, 0) / t.t_all, 1e-6) AS pf,
+         greatest(coalesce(q.n_even, 0) / t.t_even, 1e-6) AS qf
+  FROM _rdom d CROSS JOIN _rtot t
+  LEFT JOIN (SELECT r, sum(n) AS n_all FROM _role GROUP BY r) p ON p.r = d.r
+  LEFT JOIN (SELECT r, n AS n_even FROM _role WHERE half = 0) q ON q.r = d.r
+),
+_len AS (
+  SELECT CAST(substring(conv_id, 2) AS BIGINT) % 2 AS half,
+         {bucket_expr} AS b, count(*) AS n
+  FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2
+),
+_htot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS t_all,
+         CAST(sum(CASE WHEN half = 0 THEN n END) AS DOUBLE) AS t_even
+  FROM _len
+),
+_hdom AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS b),
+_hj AS (
+  SELECT greatest(coalesce(p.n_all, 0) / t.t_all, 1e-6) AS pf,
+         greatest(coalesce(q.n_even, 0) / t.t_even, 1e-6) AS qf
+  FROM _hdom d CROSS JOIN _htot t
+  LEFT JOIN (SELECT b, sum(n) AS n_all FROM _len GROUP BY b) p ON p.b = d.b
+  LEFT JOIN (SELECT b, n AS n_even FROM _len WHERE half = 0) q ON q.b = d.b
+)
+SELECT (SELECT count(*) FROM transcripts) AS n_rows,
+       (SELECT round(sum((pf - qf) * ln(pf / qf)), 6) FROM _rj) AS psi_role,
+       (SELECT round(sum(pf * ln(pf / qf)), 6) FROM _rj) AS kl_role,
+       (SELECT round(sum((pf - qf) * ln(pf / qf)), 6) FROM _hj) AS psi_len,
+       ((SELECT sum((pf - qf) * ln(pf / qf)) FROM _rj) > {thr}
+        OR (SELECT sum((pf - qf) * ln(pf / qf)) FROM _hj) > {thr}) AS drifted
+"""
+    )
+
+
 def _sql_all_violations_body(cfg: ValidationConfig) -> str:
     """Every violation source as one (conv_id, turn_idx) UNION — registry
     row checks plus the key-level duplicate/gap findings."""

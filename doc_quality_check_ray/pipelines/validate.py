@@ -204,9 +204,18 @@ def q_ts_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Ta
 
 
 def q_drift_report(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Corpus drift vs a snapshot of the same corpus' even-conversation half
-    (self-drift should be small; the actor-pool scan path is exercised in
-    tests). No SQL oracle (sketch-based)."""
+    """Corpus drift vs a snapshot of the same corpus' even-conversation half.
+
+    The snapshot goes through the full persistence path (built → saved as
+    JSON → reloaded, the production drift input) before the comparison.
+    Exact SQL twin: ``oracle.sql_drift_report`` recomputes the role counts
+    and the fixed-edge length histogram for both windows inline and applies
+    the identical smoothed PSI/KL formula (A1+A2,
+    ``modules/identity_detection.py:261-451``)."""
+    import tempfile
+    from pathlib import Path
+
+    from ..state.snapshot import StatsSnapshot
     from ..stages.drift import build_snapshot, drift_report
 
     ds = derive_transcripts(sf_dir)
@@ -218,6 +227,10 @@ def q_drift_report(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Ta
         ds.map_batches(even_half, batch_format="pyarrow", batch_size=cfg.batch_size),
         cfg,
     )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = Path(tmp) / "snapshot.json"
+        snap.save(path)
+        snap = StatsSnapshot.load(path)
     return drift_report(ds, snap, cfg)
 
 

@@ -249,7 +249,14 @@ def drift_report(
     snapshot: StatsSnapshot,
     cfg: ValidationConfig = DEFAULT_CONFIG,
 ) -> pa.Table:
-    """Corpus-level drift verdict: current global sketches vs snapshot."""
+    """Corpus-level drift verdict: current global sketches vs snapshot.
+
+    PSI/KL are rounded to 6 decimals (half-away, = DuckDB ``round()``) so
+    the SQL twin (``oracle.sql_drift_report``) hashes identically; the
+    drifted gate compares the UNROUNDED scores against the threshold, as
+    does the twin."""
+    from ..functions.rounding import round_half_away_scalar
+
     current = build_snapshot(ds, cfg)
     domain = sorted(set(snapshot.role_counts) | set(current.role_counts))
     p = current.role_vector(domain)
@@ -260,9 +267,9 @@ def drift_report(
     return pa.table(
         {
             "n_rows": pa.array([current.n_rows], pa.int64()),
-            "psi_role": pa.array([psi_role], pa.float64()),
-            "kl_role": pa.array([kl_role], pa.float64()),
-            "psi_len": pa.array([psi_len], pa.float64()),
+            "psi_role": pa.array([round_half_away_scalar(psi_role, 6)], pa.float64()),
+            "kl_role": pa.array([round_half_away_scalar(kl_role, 6)], pa.float64()),
+            "psi_len": pa.array([round_half_away_scalar(psi_len, 6)], pa.float64()),
             "drifted": pa.array(
                 [psi_role > cfg.psi_threshold or psi_len > cfg.psi_threshold], pa.bool_()
             ),

@@ -91,8 +91,13 @@ class FrameSampler:
     """Frame-sampling stage (the video frame-sample analog): each document
     explodes into up to ``max_frames`` fixed-length windows at ``stride``
     offsets — a 1→N flat-map run as an actor pool (setup once per actor,
-    vectorized slicing per batch; ``max_frames`` Arrow kernel passes, no
-    Python rows).
+    vectorized work per batch, no Python rows).
+
+    ONE offsets-grid gather per batch: frame counts come from the length
+    column, a single ``take`` replicates each row once per frame, and one
+    per-row-offset string slice (polars, character semantics = Arrow
+    codeunits = DuckDB substring) cuts every frame in a single kernel pass
+    — the round-2 version filtered the batch once per offset.
 
     Frames are code-point windows over ``text`` (the sandbox stand-in for
     byte-range frame extraction from a real container format); a real
@@ -105,27 +110,19 @@ class FrameSampler:
         self.max_frames = max_frames
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lens = pc.fill_null(pc.utf8_length(t["text"]), 0)
-        parts = []
-        for k in range(self.max_frames):
-            off = k * self.stride
-            mask = pc.greater_equal(lens, off + self.frame_len)
-            hit = t.filter(mask)
-            if hit.num_rows == 0:
-                break
-            frame = pc.utf8_slice_codeunits(
-                hit["text"], start=off, stop=off + self.frame_len
-            )
-            parts.append(
-                pa.table(
-                    {
-                        "doc_id": hit["doc_id"],
-                        "frame_idx": pa.array([k] * hit.num_rows, pa.int32()),
-                        "frame": frame,
-                    }
-                )
-            )
-        if not parts:
+        import polars as pl
+
+        lens = (
+            pc.fill_null(pc.utf8_length(t["text"]), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_frames = np.clip(
+            (lens - self.frame_len) // self.stride + 1, 0, self.max_frames
+        )
+        n_frames[lens < self.frame_len] = 0
+        total = int(n_frames.sum())
+        if total == 0:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
@@ -133,7 +130,23 @@ class FrameSampler:
                     "frame": pa.array([], pa.string()),
                 }
             )
-        return pa.concat_tables(parts)
+        rep = np.repeat(np.arange(len(lens)), n_frames)
+        within = np.arange(total) - np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+        taken = t.select(["doc_id", "text"]).take(pa.array(rep))
+        frames = (
+            pl.from_arrow(taken["text"])
+            .to_frame("text")
+            .with_columns(pl.Series("off", within * self.stride))
+            .select(pl.col("text").str.slice(pl.col("off"), self.frame_len))
+            .to_arrow()["text"]
+        )
+        return pa.table(
+            {
+                "doc_id": taken["doc_id"],
+                "frame_idx": pa.array(within.astype(np.int32)),
+                "frame": pc.cast(frames.combine_chunks(), pa.string()),
+            }
+        )
 
 
 def frame_sample_stage(
