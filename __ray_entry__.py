@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_text_len_quantiles": V.q_text_len_quantiles,
         "v_ts_quantiles": V.q_ts_quantiles,
         "v_drift_report": V.q_drift_report,
+        "v_artifact_rows": V.q_artifact_rows,
         # training-data operators over documents / embeddings
         "d_exact_dedup": D.q_exact_dedup,
         "d_minhash_pairs": D.q_minhash_pairs,
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_simhash_recall": D.q_simhash_recall,
         "d_lsh_recall": D.q_lsh_recall,
         "d_ivf_recall": D.q_ivf_recall,
+        "d_winnow_recall": D.q_winnow_recall,
         "t_token_stats": D.q_token_stats,
         "t_langid": D.q_langid,
         "t_fingerprints": D.q_fingerprints,
@@ -98,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "v_all_violations": O.sql_all_violations(),
         "v_role_drift": O.sql_role_drift(),
         "v_drift_report": O.sql_drift_report(),
+        "v_artifact_rows": O.sql_artifact_rows(),
         "d_exact_dedup": O.SQL_EXACT_DEDUP,
         "d_knn": O.sql_knn(D.KNN_QUERY_IDS, D.KNN_K),
         "d_cosine_near_dup": O.sql_cosine_near_dup(D.COSINE_THRESHOLD),

@@ -54,6 +54,21 @@ class ValidationConfig:
         "low_quality_text",
     )
 
+    #: artifact classes for the ``artifact_text`` row check:
+    #: ((class_name, RE2 pattern), ...) — the reference's artifact banks
+    #: (``checks/confidence_check.py:18-24``, ``utils/text_filter.py:18-57``)
+    #: plus its ``?{4,}`` junk-run class (``utils/text_cleaner.py:35-36``);
+    #: per-row detail lists every matched class, the
+    #: ``get_artifact_types`` analog (``utils/text_filter.py:154-191``).
+    #: Patterns must be valid RE2 in BOTH Arrow and DuckDB (both use RE2).
+    artifact_patterns: tuple[tuple[str, str], ...] = (
+        ("question_runs", r"\?{4,}"),
+        ("hash_runs", r"#{4,}"),
+        ("at_runs", r"@{4,}"),
+        ("url", r"https?://"),
+        ("win_path", r"[A-Za-z]:\\"),
+    )
+
     # Partitioning ---------------------------------------------------------
     #: number of logical partitions for per-partition verdicts / resumable
     #: output layout. Partition id = numeric_conv_id % n_partitions so the

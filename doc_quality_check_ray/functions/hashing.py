@@ -267,6 +267,50 @@ def winnow_fingerprints(
     return vals, out_offsets
 
 
+def kgram_hashes(text: pa.Array | pa.ChunkedArray, k: int = 8):
+    """Distinct rolling char k-gram hashes per row — the UN-winnowed
+    superset of :func:`winnow_fingerprints` (same polynomial hash, every
+    position instead of window minima). Ground-truth side of the winnowing
+    recall meter.
+
+    Returns (flat_hashes uint64, row_offsets int64), distinct + sorted per
+    row.
+    """
+    lowered = pc.utf8_lower(pc.fill_null(text, ""))
+    if isinstance(lowered, pa.ChunkedArray):
+        lowered = lowered.combine_chunks()
+    buf = pc.cast(lowered, pa.binary())
+    lens = pc.binary_length(buf).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    n_rows = len(lens)
+    if buf.offset == 0 and buf.buffers()[2] is not None:
+        data = np.frombuffer(buf.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+    else:
+        data = np.frombuffer(b"".join(buf.to_pylist()), dtype=np.uint8)
+
+    mult = np.uint64(0x100000001B3)
+    if len(data) >= k:
+        h = np.zeros(len(data) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h = h * mult + data[j : len(data) - k + 1 + j].astype(np.uint64)
+    else:
+        h = np.zeros(0, dtype=np.uint64)
+
+    # gram at flat pos p belongs to its row iff the whole k-span stays inside
+    pos = np.arange(len(h))
+    row_of = np.searchsorted(offsets, pos, side="right") - 1
+    valid = pos + k <= offsets[row_of + 1]
+    rows, vals = row_of[valid], h[valid]
+    order = np.lexsort((vals, rows))
+    rows, vals = rows[order], vals[order]
+    keep = np.ones(len(rows), dtype=bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (vals[1:] != vals[:-1])
+    rows, vals = rows[keep], vals[keep]
+    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n_rows), out=out_offsets[1:])
+    return vals, out_offsets
+
+
 def md5_fingerprints(texts) -> list[str]:
     """Stable content fingerprint: md5 hex of each string (C-implemented,
     ~1 µs/row; oracle-recomputable via DuckDB ``md5()``)."""

@@ -308,6 +308,20 @@ def q_lsh_recall(sf_dir: str):
     return _recall_row(exact, approx)
 
 
+def q_winnow_recall(sf_dir: str):
+    """Recall of winnowing copy-detection pairs vs the exact full-k-gram
+    overlap ground truth (every rolling-hash position, no window
+    selection). Thresholds calibrated on this corpus: planted overlap pairs
+    share ≥44 full 16-grams, the densest unrelated pair 25 — min_shared=32
+    selects exactly the planted set, so n_exact > 0 and a window-selection
+    recall loss shows up as recall < 1."""
+    from ..stages.dedup import kgram_overlap_pairs_brute
+
+    exact = kgram_overlap_pairs_brute(_docs(sf_dir), min_shared=32, k=16)
+    approx = _pair_set(winnow_pairs(_docs(sf_dir)))
+    return _recall_row(exact, approx)
+
+
 def q_ivf_recall(sf_dir: str):
     """Recall of IVF approximate kNN vs exact brute-force kNN (fraction of
     true (query, neighbor) edges recovered)."""

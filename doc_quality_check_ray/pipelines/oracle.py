@@ -152,6 +152,14 @@ FROM _j
     )
 
 
+def sql_artifact_rows(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of q_artifact_rows — generated from the same registry entry."""
+    from ..stages.row_checks import ROW_CHECK_REGISTRY
+
+    frag = ROW_CHECK_REGISTRY["artifact_text"].sql_fragments(cfg)[0]
+    return TRANSCRIPTS_CTE + "\n" + frag
+
+
 def sql_drift_report(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     """Exact twin of ``validate.q_drift_report``: snapshot = even-conversation
     half, current = full corpus; smoothed PSI/KL over the union role domain

@@ -309,6 +309,13 @@ def _phase2_global(
             }
         )
 
+    # merged corpus sketch first (KB-scale JSON): its hot-conversation probe
+    # (max multiplicity of one conv within any scanned batch) decides the
+    # key-finding path BEFORE the exchange runs
+    merged = _merge_sketches(out, cfg)
+    hot_gate = min(cfg.hot_conv_turns, cfg.batch_size)
+    use_salted = (merged.max_conv_batch or 0) >= hot_gate
+
     gdir = out / "global"
     with atomic_output_dir(gdir) as gtmp:
         # ONE conv-keyed hash exchange straight over the (immutable, column-
@@ -318,34 +325,37 @@ def _phase2_global(
         # halves phase-1 output volume. Bucketing on conv_id alone puts each
         # conversation whole into one reduce task, so dup keys and
         # conversation contiguity fall out of a single local merge.
-        # Assumption: one conversation's rows fit one reduce task; the
-        # order-free mergeable-partials path in stages/keys.py is the
-        # fallback for adversarial mega-conversations.
-        findings = (
-            parquet_hash_exchange(
-                input_files,
-                ["conv_id"],
-                bucket_findings,
-                num_buckets=64,
-                columns=["conv_id", "turn_idx"],
+        # Assumption: one conversation's rows fit one reduce task — when the
+        # phase-1 sketch's hot-conversation probe says a conversation filled
+        # a whole batch (≥ min(hot_conv_turns, batch_size) turns in one
+        # batch), the order-free mergeable-partials path below is selected
+        # automatically instead.
+        if input_files and use_salted:
+            dup_t, gap_t = _key_findings_salted(input_files, cfg)
+        else:
+            findings = (
+                parquet_hash_exchange(
+                    input_files,
+                    ["conv_id"],
+                    bucket_findings,
+                    num_buckets=64,
+                    columns=["conv_id", "turn_idx"],
+                )
+                if input_files
+                else bucket_findings(pd.DataFrame({"conv_id": [], "turn_idx": []}))
             )
-            if input_files
-            else bucket_findings(pd.DataFrame({"conv_id": [], "turn_idx": []}))
-        )
+            dup_t = findings.filter(pc.equal(findings["finding"], "dup")).select(
+                ["conv_id", "turn_idx", "n_dups"]
+            )
+            gap_t = findings.filter(pc.equal(findings["finding"], "gap")).select(
+                ["conv_id", "n", "n_distinct", "min_idx", "max_idx"]
+            )
         kdir = gtmp / "key_findings"
-        dup_t = findings.filter(pc.equal(findings["finding"], "dup")).select(
-            ["conv_id", "turn_idx", "n_dups"]
-        )
-        gap_t = findings.filter(pc.equal(findings["finding"], "gap")).select(
-            ["conv_id", "n", "n_distinct", "min_idx", "max_idx"]
-        )
         (kdir / "finding=dup").mkdir(parents=True)
         (kdir / "finding=gap").mkdir(parents=True)
         pq.write_table(dup_t, kdir / "finding=dup" / "part-0.parquet")
         pq.write_table(gap_t, kdir / "finding=gap" / "part-0.parquet")
 
-        # merged corpus sketch from per-shard sketches (KB-scale JSON)
-        merged = _merge_sketches(out, cfg)
         merged.save(gtmp / "stats.json")
 
         # column-stats gates: corpus-level pass/fail on aggregate stats
@@ -425,6 +435,8 @@ def _phase2_global(
         n_batch_errors, n_error_rows = ray.get(err_ref)
         summary = {
             "n_rows": merged.n_rows,
+            "key_path": "salted" if use_salted else "conv_bucket",
+            "max_conv_batch": int(merged.max_conv_batch or 0),
             "n_convs_estimate": int(est) if est is not None else None,
             "n_duplicate_keys": int(n_dup),
             "n_gap_conversations": int(n_gap),
@@ -440,6 +452,49 @@ def _phase2_global(
             ),
         }
     return summary
+
+
+def _key_findings_salted(
+    input_files: list[str], cfg: ValidationConfig
+) -> tuple[pa.Table, pa.Table]:
+    """Key findings via order-free mergeable partials — the hot-conversation
+    path (auto-selected off the phase-1 sketch). Duplicates come from the
+    fine-grained (conv_id, turn_idx) exchange (naturally skew-free: a key's
+    copies merge by count, never a whole conversation in one task); gaps
+    from :func:`~doc_quality_check_ray.stages.keys.conversation_stats_salted`'s
+    two-level tree merge. Output tables are identical to the conv-bucketed
+    fast path (equivalence-tested on the mega-conversation fixture).
+    """
+    from ..stages.keys import duplicate_keys, turn_gaps
+
+    ds = ray.data.read_parquet(input_files, columns=["conv_id", "turn_idx"])
+    dup_t = _concat_ds(
+        duplicate_keys(ds, cfg), ["conv_id", "turn_idx", "n_dups"]
+    )
+    gap_t = _concat_ds(
+        turn_gaps(ds, cfg, salted=True),
+        ["conv_id", "n", "n_distinct", "min_idx", "max_idx"],
+    )
+    return dup_t, gap_t
+
+
+def _concat_ds(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
+    batches = [
+        b.select(columns)
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not batches:
+        return pa.table(
+            {
+                c: pa.array(
+                    [], pa.string() if c == "conv_id" else
+                    pa.int32() if c == "turn_idx" else pa.int64()
+                )
+                for c in columns
+            }
+        )
+    return pa.concat_tables(batches)
 
 
 @ray.remote

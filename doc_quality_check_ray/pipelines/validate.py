@@ -113,6 +113,27 @@ def q_role_drift(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Tabl
     )
 
 
+def q_artifact_rows(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-row artifact-class breakdown — the ``get_artifact_types``
+    classifier (reference ``utils/text_filter.py:154-191``) as a
+    registry-driven row check: rows matching any configured artifact
+    pattern, with ``detail`` listing every matched class in bank order.
+    The check is registered but not in the default verdict set, so this
+    query emits exactly its violation rows (engine and SQL twin both
+    generated from the same registry entry)."""
+    from ..stages.row_checks import ROW_CHECK_REGISTRY
+
+    chk = ROW_CHECK_REGISTRY["artifact_text"]
+    ds = derive_transcripts(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(chk.emit(t, cfg, {}))
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+    )
+
+
 TEXT_LEN_QUANTILES = (0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
 TS_QUANTILES = (0.10, 0.50, 0.90)
 

@@ -769,6 +769,48 @@ def jaccard_pairs_brute(
     return out
 
 
+def kgram_overlap_pairs_brute(
+    ds: ray.data.Dataset,
+    min_shared: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+) -> set[tuple[int, int]]:
+    """Ground truth for the winnowing recall meter: pairs sharing at least
+    ``min_shared`` distinct full k-char gram hashes — the UN-winnowed
+    superset of the selected fingerprints (same rolling hash, every
+    position). Winnowing keeps ~1/w of these, so a pair this meter selects
+    that winnowing misses is a real recall loss of the window selection.
+    Query-scale only (driver pairwise over distinct-gram arrays)."""
+    from ..functions.hashing import kgram_hashes
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals, offs = kgram_hashes(t[text_col], k=k)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[id_col], pa.int64()),
+                "gh": pa.LargeListArray.from_arrays(
+                    pa.array(offs, pa.int64()), pa.array(vals, pa.uint64())
+                ),
+            }
+        )
+
+    rows = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    ids = [int(r["doc_id"]) for r in rows]
+    sets = [np.asarray(r["gh"], dtype=np.uint64) for r in rows]
+    order = np.argsort(ids)
+    out = set()
+    for x in range(len(order)):
+        for y in range(x + 1, len(order)):
+            i, j = order[x], order[y]
+            if (
+                len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+                >= min_shared
+            ):
+                out.add((ids[i], ids[j]))
+    return out
+
+
 def hamming_pairs_brute(
     ds: ray.data.Dataset,
     max_hamming: int = 3,

@@ -60,8 +60,18 @@ def _batch_sketch(t: pa.Table, cfg: ValidationConfig) -> dict:
     conv_hashes = pl.from_arrow(pc.fill_null(t["conv_id"], "")).hash(seed=13).to_numpy()
     hll = HyperLogLog().add_hashes(conv_hashes)
     hll_b64 = base64.b64encode(hll.registers.tobytes()).decode()
+    # hot-conversation probe: max multiplicity of one conv within this batch
+    # (on the already-computed hashes; collisions only overestimate, which
+    # errs toward the safe salted path). A conversation larger than a batch
+    # fills at least one batch entirely, so the merged max detects it.
+    if len(conv_hashes):
+        _, cnts = np.unique(conv_hashes, return_counts=True)
+        max_conv_batch = int(cnts.max())
+    else:
+        max_conv_batch = 0
     return {
         "hll": hll_b64,
+        "max_conv_batch": max_conv_batch,
         "n_rows": t.num_rows,
         "role_keys": rc["role"].to_pylist(),
         "role_counts": rc["count_all"].to_pylist(),
@@ -107,8 +117,10 @@ def merge_sketch_dicts(dicts, cfg: ValidationConfig) -> dict:
     hll = HyperLogLog()
     n, ts_min, ts_max = 0, None, None
     max_len = None
+    max_conv_batch = 0
     for r in dicts:
         n += int(r["n_rows"])
+        max_conv_batch = max(max_conv_batch, int(r.get("max_conv_batch") or 0))
         if r.get("hll"):
             np.maximum(
                 hll.registers,
@@ -136,6 +148,7 @@ def merge_sketch_dicts(dicts, cfg: ValidationConfig) -> dict:
     ts_means, ts_weights = ts_td.to_arrays()
     return {
         "hll": base64.b64encode(hll.registers.tobytes()).decode(),
+        "max_conv_batch": int(max_conv_batch),
         "n_rows": int(n),
         "role_keys": list(roles.keys()),
         "role_counts": list(roles.values()),
@@ -165,6 +178,7 @@ def snapshot_from_sketch(d: dict, cfg: ValidationConfig) -> StatsSnapshot:
         ts_tdigest_weights=d.get("ts_td_weights", []),
         max_text_len=d.get("max_len"),
         hll_b64=d.get("hll"),
+        max_conv_batch=d.get("max_conv_batch"),
     )
 
 

@@ -262,9 +262,14 @@ def key_finding_violations(
 
 
 def turn_gaps(
-    ds: ray.data.Dataset, cfg: ValidationConfig = DEFAULT_CONFIG
+    ds: ray.data.Dataset,
+    cfg: ValidationConfig = DEFAULT_CONFIG,
+    salted: bool = False,
 ) -> ray.data.Dataset:
-    """Offending conversations: (conv_id, n, n_distinct, min_idx, max_idx)."""
+    """Offending conversations: (conv_id, n, n_distinct, min_idx, max_idx).
+
+    ``salted=True`` routes through :func:`conversation_stats_salted` (the
+    two-level tree merge for hot conversations); output is identical."""
 
     def keep_gaps(t: pa.Table) -> pa.Table:
         ok = pc.and_(
@@ -285,4 +290,5 @@ def turn_gaps(
             }
         )
 
-    return conversation_stats(ds, cfg).map_batches(keep_gaps, batch_format="pyarrow")
+    stats = (conversation_stats_salted if salted else conversation_stats)(ds, cfg)
+    return stats.map_batches(keep_gaps, batch_format="pyarrow")

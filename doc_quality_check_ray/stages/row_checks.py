@@ -261,6 +261,74 @@ register_row_check(
 )
 
 
+CHECK_ARTIFACT = "artifact_text"
+
+
+def _artifact_class_masks(t: pa.Table, cfg: ValidationConfig, ctx: dict):
+    """One boolean mask per artifact class + the OR of all of them,
+    memoized per batch (each pattern is ONE vectorized RE2 scan)."""
+    if "artifact" not in ctx:
+        masks = [
+            (name, pc.fill_null(pc.match_substring_regex(t["text"], pat), False))
+            for name, pat in cfg.artifact_patterns
+        ]
+        any_mask = masks[0][1]
+        for _, m in masks[1:]:
+            any_mask = pc.or_(any_mask, m)
+        ctx["artifact"] = (masks, any_mask)
+    return ctx["artifact"]
+
+
+def _artifact_detail(cfg: ValidationConfig):
+    """detail = 'classes=' + comma-joined matched class names (bank order) —
+    the per-row artifact-type breakdown of ``get_artifact_types``
+    (``utils/text_filter.py:154-191``). Arrow's skip-null element-wise join
+    is the exact twin of SQL ``concat_ws`` (both drop unmatched classes)."""
+
+    def detail(hit: pa.Table) -> pa.Array:
+        masks, _ = _artifact_class_masks(hit, cfg, {})
+        pieces = [
+            pc.if_else(m, name, pa.scalar(None, pa.string())) for name, m in masks
+        ]
+        joined = pc.binary_join_element_wise(*pieces, ",", null_handling="skip")
+        return pc.binary_join_element_wise("classes=", joined, "")
+
+    return detail
+
+
+def _sql_artifact_case(name: str, pat: str) -> str:
+    return f"CASE WHEN regexp_matches(text, '{pat}') THEN '{name}' END"
+
+
+register_row_check(
+    RowCheck(
+        check_id=CHECK_ARTIFACT,
+        emit=lambda t, cfg, ctx: [
+            _emit(
+                t,
+                _artifact_class_masks(t, cfg, ctx)[1],
+                CHECK_ARTIFACT,
+                _artifact_detail(cfg),
+            )
+        ],
+        verdict_mask=lambda t, cfg, ctx: _artifact_class_masks(t, cfg, ctx)[1],
+        sql_fragments=lambda cfg: [
+            f"""SELECT conv_id, turn_idx, '{CHECK_ARTIFACT}' AS check_id,
+       'classes=' || concat_ws(',', {", ".join(_sql_artifact_case(n, p) for n, p in cfg.artifact_patterns)}) AS detail
+  FROM transcripts
+ WHERE {" OR ".join(f"regexp_matches(text, '{p}')" for _, p in cfg.artifact_patterns)}"""
+        ],
+        sql_predicate=lambda cfg: (
+            "coalesce("
+            + " OR ".join(
+                f"regexp_matches(text, '{p}')" for _, p in cfg.artifact_patterns
+            )
+            + ", FALSE)"
+        ),
+    )
+)
+
+
 # -- batch kernels -----------------------------------------------------------
 
 

@@ -36,6 +36,10 @@ class StatsSnapshot:
     max_text_len: int | None = None
     #: base64-packed HyperLogLog registers (conversation cardinality sketch)
     hll_b64: str | None = None
+    #: max multiplicity of one conversation within any single scanned batch
+    #: (mergeable via max) — the hot-conversation probe that auto-selects
+    #: the salted key-finding path in phase 2
+    max_conv_batch: int | None = None
 
     def n_convs_estimate(self) -> float | None:
         if not self.hll_b64:

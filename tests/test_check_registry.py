@@ -129,3 +129,47 @@ def test_from_json_deep_tuples(tmp_path):
     )
     cfg = ValidationConfig.from_json(p)
     assert cfg.lang_keyword_banks == (("en", ("the", "and")), ("xx", ("zorp",)))
+
+
+def test_artifact_check_detail_lists_matched_classes():
+    """The artifact_text registry entry (get_artifact_types analog): per-row
+    detail lists every matched class in bank order, identically in the Arrow
+    kernel and the generated SQL fragment."""
+    import pyarrow.compute as pc
+
+    from doc_quality_check_ray.config import DEFAULT_CONFIG
+    from doc_quality_check_ray.stages.row_checks import CHECK_ARTIFACT
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c2", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+            "role": pa.array(["user"] * 4, pa.string()),
+            "text": pa.array(
+                [
+                    "??????? ???? ######## @@@@",
+                    "clean text",
+                    "see https://example.com now",
+                    None,
+                ],
+                pa.string(),
+            ),
+            "tool": pa.array([None] * 4, pa.string()),
+            "ts": pa.array([None] * 4, pa.timestamp("us")),
+        }
+    )
+    chk = ROW_CHECK_REGISTRY[CHECK_ARTIFACT]
+    out = pa.concat_tables(chk.emit(t, DEFAULT_CONFIG, {}))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["detail"] for r in out.to_pylist()
+    }
+    assert got == {
+        ("c1", 0): "classes=question_runs,hash_runs,at_runs",
+        ("c2", 0): "classes=url",
+    }
+    # SQL twin produces the identical rows
+    con = duckdb.connect()
+    con.register("transcripts", t)
+    frag = chk.sql_fragments(DEFAULT_CONFIG)[0]
+    rows = con.sql(frag).fetchall()
+    assert {(r[0], r[1]): r[3] for r in rows} == got

@@ -79,3 +79,13 @@ def test_winnow_pairs_find_planted_overlap():
     found = set(zip(pairs.a_id, pairs.b_id))
     assert (7, 100) in found
     assert (8, 101) in found
+
+
+def test_winnow_recall_meter_nonempty_exact_set(sf_dir):
+    """d_winnow_recall: the full-k-gram ground truth selects the planted
+    overlap pairs (n_exact > 0) and winnowing recovers them all."""
+    from doc_quality_check_ray.pipelines.documents import q_winnow_recall
+
+    row = q_winnow_recall(sf_dir).to_pylist()[0]
+    assert row["n_exact"] > 0
+    assert row["recall"] == 1.0
