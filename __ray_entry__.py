@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_terms_by_source": D.q_top_terms_by_source,
         "d_sample_documents": D.q_sample_documents,
         "d_decontaminate": D.q_decontaminate,
+        "d_dup_components": D.q_dup_components,
+        "d_pack_chunks": D.q_pack_chunks,
+        "d_stratified_sample": D.q_stratified_sample,
         "mm_decode": D.q_mm_decode,
         "mm_frame_sample": D.q_mm_frame_sample,
         "d_chunk_documents": D.q_chunk_documents,
@@ -116,6 +119,9 @@ def oracle_sql() -> dict[str, str]:
         "t_top_terms_by_source": O.sql_top_terms_by_source(),
         "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
         "d_decontaminate": O.sql_decontaminate(D.SAMPLE_HEX_LT),
+        "d_dup_components": O.sql_dup_components(),
+        "d_pack_chunks": O.sql_pack_chunks(D.PACK_CHUNK, D.PACK_CAPACITY),
+        "d_stratified_sample": O.sql_stratified_sample(D.STRATIFIED_K),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
         "r_pricing_summary": R.SQL_PRICING_SUMMARY,
         "r_events_by_nation": R.SQL_EVENTS_BY_NATION,

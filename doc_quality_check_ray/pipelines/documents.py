@@ -447,6 +447,189 @@ def q_top_terms_by_source(sf_dir: str, k: int = 5):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_dup_components(sf_dir: str, threshold: float = 0.25):
+    """Duplicate-cluster canonicalization: connected components over the
+    exact n-gram Jaccard near-dup graph → (doc_id, component_id = min id in
+    cluster). The suppression step that turns pairwise findings into one
+    keeper per cluster (IoU-suppression analog at corpus scale,
+    ``modules/document_segmentation.py:143-228``). Iterated min-label
+    propagation via hash-bucket exchanges (no broadcast, no driver graph);
+    SQL twin = recursive-CTE min propagation over the same edge list."""
+    from ..stages.graph import connected_components
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return connected_components(ngram_jaccard_pairs(ds, threshold=threshold))
+
+
+#: sequence packing: context-window capacity (tokens) and chunk size
+PACK_CAPACITY = 512
+PACK_CHUNK = 32
+#: range-block width for the distributed prefix scan (doc_id // R)
+PACK_RANGE = 64
+
+
+def q_pack_chunks(sf_dir: str):
+    """Sequence packing — assign every token-window chunk to a
+    fixed-capacity context bin in global (doc_id, chunk_idx) order:
+    ``bin_id = (prefix_tokens(doc) + CHUNK·chunk_idx) // CAPACITY`` — the
+    GPT-style contiguous corpus packing where documents straddle bin
+    boundaries.
+
+    Distributed prefix-scan shape: (1) per-batch partial token totals per
+    doc_id range block → tiny exchange → driver exclusive-cumsum over
+    O(n_blocks) block totals (hierarchical at cluster scale); (2) one
+    range-keyed exchange co-locates each block, which computes its local
+    exclusive cumsum + block offset and explodes chunk rows. Only
+    (doc_id, n_tokens) ever shuffles — never text.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    ds = _docs(sf_dir)
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        first = pc.list_element(toks, 0)
+        blank = pc.fill_null(pc.equal(first, ""), True).to_numpy(zero_copy_only=False)
+        eff = np.where(blank, 0, n)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "block": pa.array(ids // PACK_RANGE),
+                "n_tokens": pa.array(eff),
+            }
+        )
+
+    per_doc = ds.map_batches(
+        doc_tokens, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    block_totals = (
+        hash_bucket_aggregate(
+            per_doc, ["block"], {"total": ("n_tokens", "sum")}, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("block", ignore_index=True)
+    )
+    offsets = dict(
+        zip(
+            block_totals["block"],
+            np.concatenate([[0], np.cumsum(block_totals["total"].to_numpy())[:-1]]),
+        )
+    )
+    off_ref = _ray.put(offsets)
+
+    def pack_block(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        T = g["n_tokens"].to_numpy()
+        prefix = int(offs[int(g["block"].iloc[0])]) + np.concatenate(
+            [[0], np.cumsum(T)[:-1]]
+        )
+        n_chunks = -(-T // PACK_CHUNK)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "chunk_idx": pd.Series(dtype="int32"),
+                    "bin_id": pd.Series(dtype="int64"),
+                }
+            )
+        rep_doc = np.repeat(g["doc_id"].to_numpy(), n_chunks)
+        within = np.arange(total) - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        start = np.repeat(prefix, n_chunks) + within * PACK_CHUNK
+        return pd.DataFrame(
+            {
+                "doc_id": rep_doc.astype("int64"),
+                "chunk_idx": within.astype("int32"),
+                "bin_id": (start // PACK_CAPACITY).astype("int64"),
+            }
+        )
+
+    return per_doc.groupby("block").map_groups(pack_block, batch_format="pandas")
+
+
+#: per-source quota for the stratified deterministic sample
+STRATIFIED_K = 20
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: the ``k`` docs with the smallest
+    ``md5(str(doc_id))`` per ``source`` — per-stratum quota sampling any SQL
+    twin reproduces bit-for-bit (corpus-mixing quota draw; O6 per-category
+    cap analog, ``tests/analyze_thresholds.py:46``).
+
+    Per-batch per-source k-smallest prune (exact: a global per-source top-k
+    member is top-k in its batch too) → source-keyed exchange → per-source
+    merge. Digest order compared as big-endian (hi, lo) uint64 pairs =
+    lexicographic hex order; the digests come from the vectorized
+    single-block MD5."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_digests_short, _POW10
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nd = np.maximum(np.searchsorted(_POW10, ids, side="right"), 1).astype(np.int64)
+        msgs = np.zeros((len(ids), 64), dtype=np.uint8)
+        for j in range(int(nd.max()) if len(nd) else 0):
+            e = np.clip(nd - 1 - j, 0, 19)
+            digit = (ids // _POW10[e]) % np.uint64(10)
+            np.copyto(msgs[:, j], (48 + digit).astype(np.uint8), where=(j < nd))
+        dg = md5_digests_short(msgs, nd)
+        hi = dg[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        lo = dg[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "hi": hi,
+                "lo": lo,
+            }
+        )
+        df = df.sort_values(["hi", "lo", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(STRATIFIED_K), preserve_index=False
+        )
+
+    pruned = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["source"])).hash_rows(seed=11).to_numpy()
+        return t.append_column("bucket", pa.array((h % np.uint64(8)).astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hi", "lo", "doc_id"], kind="mergesort")
+        out = g.groupby("source", sort=False).head(STRATIFIED_K)
+        return out[["source", "doc_id"]].sort_values(
+            ["source", "doc_id"], ignore_index=True
+        )
+
+    return (
+        pruned.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 

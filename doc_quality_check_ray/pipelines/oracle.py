@@ -429,6 +429,67 @@ SELECT source, token, n FROM r WHERE rn <= %d
 """ % k
 
 
+def sql_dup_components(threshold: float = 0.25) -> str:
+    """Twin of q_dup_components: recursive min-label propagation over the
+    same n-gram Jaccard edge list (component id = min reachable node)."""
+    inner = sql_ngram_jaccard(threshold)
+    return f"""
+WITH RECURSIVE _pairs AS (
+  SELECT a_id, b_id FROM ({inner})
+), _e AS (
+  SELECT a_id AS a, b_id AS b FROM _pairs
+  UNION ALL
+  SELECT b_id, a_id FROM _pairs
+), _nodes AS (SELECT DISTINCT a AS v FROM _e),
+walk(v, l) AS (
+  SELECT v, v FROM _nodes
+  UNION
+  SELECT e.b, w.l FROM walk w JOIN _e e ON e.a = w.v
+)
+SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component_id FROM walk GROUP BY v
+"""
+
+
+def sql_pack_chunks(chunk: int = 32, capacity: int = 512) -> str:
+    """Twin of q_pack_chunks: window cumsum over doc_id order. Token count
+    = non-empty tokens after a \\s+ split (robust to any whitespace framing,
+    equal to the engine's trimmed-split count)."""
+    return rf"""
+WITH _tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS t
+  FROM documents
+), _pre AS (
+  SELECT doc_id, t,
+         CAST(coalesce(sum(t) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+  FROM _tok
+), _ch AS (
+  SELECT doc_id, p,
+         unnest(generate_series(0, CAST(ceil(t / {chunk}.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM _pre WHERE t > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST((p + {chunk} * chunk_idx) // {capacity} AS BIGINT) AS bin_id
+FROM _ch
+"""
+
+
+def sql_stratified_sample(k: int = 20) -> str:
+    """Twin of q_stratified_sample: per-source k smallest md5(doc_id)."""
+    return f"""
+WITH _r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id FROM _r WHERE rn <= {k}
+"""
+
+
 def sql_mm_decode() -> str:
     return """
 SELECT doc_id,

