@@ -257,54 +257,53 @@ def _phase2_global(
     q_ref = _sum_partials_task.remote(_shard_dirs(out, "q"), "n_violations")
     err_ref = _count_batch_errors_task.remote(_shard_dirs(out, "v"))
 
-    def bucket_findings(g: pd.DataFrame) -> pa.Table:
+    def bucket_findings(t: pa.Table) -> pa.Table:
         """Per bucket: count key multiplicities, emit dup-key and gap-conv
         findings. Input is raw (conv_id, turn_idx) rows straight off the
         immutable input parquet — multiplicity IS the row count.
 
-        Returns a typed Arrow table (typed even when empty, so downstream
-        schema inference and size estimation never see object dtypes).
+        polars on the Arrow bucket (null keys are real groups in polars
+        group_by, matching DuckDB): pandas multi-key string groupby plus the
+        arrow→pandas conversion cost ~2× the whole reduction at megarow
+        bucket sizes. Returns a typed Arrow table (typed even when empty,
+        so downstream schema inference never sees object dtypes).
         """
-        # dropna=False: null keys are real groups (DuckDB GROUP BY keeps them)
-        kc = (
-            g.groupby(["conv_id", "turn_idx"], sort=False, dropna=False)
-            .size()
-            .reset_index(name="cnt")
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["conv_id", "turn_idx"]))
+        kc = df.group_by(["conv_id", "turn_idx"]).len(name="cnt")
+        dup = kc.filter(pl.col("cnt") > 1)
+        conv = kc.group_by("conv_id").agg(
+            n=pl.col("cnt").sum().cast(pl.Int64),
+            n_distinct=pl.len().cast(pl.Int64),
+            min_idx=pl.col("turn_idx").min().cast(pl.Int64),
+            max_idx=pl.col("turn_idx").max().cast(pl.Int64),
         )
-        dup = kc[kc["cnt"] > 1]
-        conv = (
-            kc.groupby("conv_id", sort=False, dropna=False)
-            .agg(
-                n=("cnt", "sum"),
-                n_distinct=("cnt", "size"),
-                min_idx=("turn_idx", "min"),
-                max_idx=("turn_idx", "max"),
-            )
-            .reset_index()
-        )
-        bad = conv[
+        bad = conv.filter(
             ~(
-                (conv["min_idx"] == 0)
-                & (conv["max_idx"] == conv["n_distinct"] - 1)
-                & (conv["n"] == conv["n_distinct"])
+                (pl.col("min_idx") == 0)
+                & (pl.col("max_idx") == pl.col("n_distinct") - 1)
+                & (pl.col("n") == pl.col("n_distinct"))
             )
-        ]
+        )
         nd, nb = len(dup), len(bad)
         return pa.table(
             {
                 "conv_id": pa.array(
-                    list(dup["conv_id"]) + list(bad["conv_id"]), pa.string()
+                    dup["conv_id"].to_list() + bad["conv_id"].to_list(), pa.string()
                 ),
                 "turn_idx": pa.array(
-                    list(dup["turn_idx"]) + [-1] * nb, pa.int32()
+                    dup["turn_idx"].to_list() + [-1] * nb, pa.int32()
                 ),
-                "n_dups": pa.array(list(dup["cnt"]) + [0] * nb, pa.int64()),
-                "n": pa.array([0] * nd + list(bad["n"]), pa.int64()),
+                "n_dups": pa.array(
+                    dup["cnt"].cast(pl.Int64).to_list() + [0] * nb, pa.int64()
+                ),
+                "n": pa.array([0] * nd + bad["n"].to_list(), pa.int64()),
                 "n_distinct": pa.array(
-                    [0] * nd + list(bad["n_distinct"]), pa.int64()
+                    [0] * nd + bad["n_distinct"].to_list(), pa.int64()
                 ),
-                "min_idx": pa.array([0] * nd + list(bad["min_idx"]), pa.int64()),
-                "max_idx": pa.array([0] * nd + list(bad["max_idx"]), pa.int64()),
+                "min_idx": pa.array([0] * nd + bad["min_idx"].to_list(), pa.int64()),
+                "max_idx": pa.array([0] * nd + bad["max_idx"].to_list(), pa.int64()),
                 "finding": pa.array(["dup"] * nd + ["gap"] * nb, pa.string()),
             }
         )
@@ -340,9 +339,17 @@ def _phase2_global(
                     bucket_findings,
                     num_buckets=64,
                     columns=["conv_id", "turn_idx"],
+                    reduce_format="pyarrow",
                 )
                 if input_files
-                else bucket_findings(pd.DataFrame({"conv_id": [], "turn_idx": []}))
+                else bucket_findings(
+                    pa.table(
+                        {
+                            "conv_id": pa.array([], pa.string()),
+                            "turn_idx": pa.array([], pa.int32()),
+                        }
+                    )
+                )
             )
             dup_t = findings.filter(pc.equal(findings["finding"], "dup")).select(
                 ["conv_id", "turn_idx", "n_dups"]
@@ -621,6 +628,7 @@ def run_validation(
     # the previous group's sketch-merge task resolves while the current
     # group's scan runs — zero critical-path cost; a kill mid-group redoes at
     # most one already-scanned group (its manifest lands one group late)
+    t1 = time.perf_counter()
     processed = 0
     prev: tuple[dict[str, Any], Any] | None = None
     for gid, files in pending:
@@ -631,11 +639,15 @@ def run_validation(
         processed += 1
     if prev is not None:
         _finalize_group(manifest, *prev)
+    wall_phase1 = time.perf_counter() - t1
 
     if stopped_early:
         return {"partial": True, "processed": processed, "skipped": skipped}
 
+    t2 = time.perf_counter()
     summary = _phase2_global(out, cfg, snapshot_path, input_files=[f for _, f in shards])
+    summary["wall_phase1_sec"] = round(wall_phase1, 3)
+    summary["wall_phase2_sec"] = round(time.perf_counter() - t2, 3)
     summary.update(
         {
             "partial": False,
