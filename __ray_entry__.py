@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dup_components": D.q_dup_components,
         "d_pack_chunks": D.q_pack_chunks,
         "d_stratified_sample": D.q_stratified_sample,
+        "d_quantize_embeddings": D.q_quantize_embeddings,
+        "t_token_entropy": D.q_token_entropy,
         "mm_decode": D.q_mm_decode,
         "mm_frame_sample": D.q_mm_frame_sample,
         "d_chunk_documents": D.q_chunk_documents,
@@ -85,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_user_sessions": E.q_user_sessions,
         "e_asof_last_signup": E.q_asof_last_signup,
         "e_hourly_event_counts": E.q_hourly_event_counts,
+        "e_sliding_event_counts": E.q_sliding_event_counts,
         # relational operators over the TPC-H-ish tables
         "r_pricing_summary": R.q_pricing_summary,
         "r_events_by_nation": R.q_events_by_nation,
@@ -122,7 +125,10 @@ def oracle_sql() -> dict[str, str]:
         "d_dup_components": O.sql_dup_components(),
         "d_pack_chunks": O.sql_pack_chunks(D.PACK_CHUNK, D.PACK_CAPACITY),
         "d_stratified_sample": O.sql_stratified_sample(D.STRATIFIED_K),
+        "d_quantize_embeddings": O.sql_quantize_embeddings(),
+        "t_token_entropy": O.sql_token_entropy(),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
+        "e_sliding_event_counts": E.SQL_SLIDING_EVENT_COUNTS,
         "r_pricing_summary": R.SQL_PRICING_SUMMARY,
         "r_events_by_nation": R.SQL_EVENTS_BY_NATION,
         "mm_decode": O.sql_mm_decode(),

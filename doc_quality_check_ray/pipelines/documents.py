@@ -630,6 +630,121 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_quantize_embeddings(sf_dir: str, k_rows: int = 20):
+    """Symmetric int8 embedding quantization — the storage/serving step of
+    an embedding pipeline: per-vector scale = 127 / max|v|, q_j =
+    round(v_j · scale). Output exploded to (vec_id, dim_idx, qval) plus the
+    per-row scale so the driver's order-insensitive hash can verify every
+    element (list columns don't sort); limited to vec_id < ``k_rows`` to
+    keep the verified sample bounded (the operator itself is a pure
+    per-batch map at any scale)."""
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    ds = _embs(sf_dir)
+
+    def quant(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ids < k_rows
+        if not mask.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim_idx": pa.array([], pa.int32()),
+                    "qval": pa.array([], pa.int32()),
+                    "scale": pa.array([], pa.float64()),
+                }
+            )
+        dim = len(emb[0])
+        M = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, dim)[mask]
+        )
+        ids = ids[mask]
+        max_abs = np.maximum(np.abs(M).max(axis=1), 1e-30)
+        scale = 127.0 / max_abs
+        q = round_half_away(M * scale[:, None], 0).astype(np.int32)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, dim), pa.int64()),
+                "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int32), n)),
+                "qval": pa.array(q.ravel(), pa.int32()),
+                "scale": pa.array(
+                    np.repeat(round_half_away(scale, 6), dim), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-document token (Shannon) entropy — the lexical-diversity quality
+    score: H = -Σ (c_t/n)·ln(c_t/n) over the doc's token multiset. Fully
+    vectorized over flat token hashes (sort + run-length + segmented sums;
+    64-bit hash collisions are the same negligible-equivalence argument as
+    the n-gram oracle). Docs with no tokens emit no row (the SQL twin's
+    GROUP BY has nothing to group). (doc_id, n_tokens, entropy@6dp)."""
+    import numpy as np
+
+    from ..functions.hashing import token_hashes
+    from ..functions.rounding import round_half_away
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks, offs = token_hashes(t["text"])
+        n_row = np.diff(offs)
+        row_of = np.repeat(np.arange(len(n_row)), n_row)
+        # drop empty-token rows (blank docs tokenize to [''] whose hash is
+        # constant — but token_hashes hashes '' too; filter by re-splitting?)
+        # token_hashes keeps '' tokens for blank docs: detect via utf8 trim
+        blank = (
+            pc.equal(
+                pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), ""
+            ).to_numpy(zero_copy_only=False)
+        )
+        keep = ~blank[row_of]
+        toks, row_of = toks[keep], row_of[keep]
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((toks, row_of))
+        r, v = row_of[order], toks[order]
+        new_run = np.ones(len(r), dtype=bool)
+        new_run[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+        run_ids = np.cumsum(new_run) - 1
+        cnt = np.bincount(run_ids)
+        run_row = r[new_run]
+        n_per_row = np.bincount(row_of, minlength=len(n_row)).astype(np.float64)
+        p = cnt / n_per_row[run_row]
+        terms = -p * np.log(p)
+        ent = np.zeros(len(n_row))
+        np.add.at(ent, run_row, terms)
+        present = np.flatnonzero(n_per_row > 0)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_tokens": pa.array(n_per_row[present].astype(np.int64)),
+                "entropy": pa.array(
+                    round_half_away(ent[present], 6), pa.float64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -- multimodal -------------------------------------------------------------
 
 

@@ -156,6 +156,68 @@ FROM events GROUP BY 1
 """
 
 
+#: trailing window width for the sliding aggregate (hours)
+SLIDING_HOURS = 3
+
+
+def q_sliding_event_counts(sf_dir: str):
+    """Sliding-window aggregate: per hour bucket, the event count of the
+    trailing 3-hour window ending at that hour — RANGE (timestamp) window
+    semantics, so gaps in the hour sequence are handled like SQL's
+    ``RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW``.
+
+    Shape: the distributed tumbling pipeline (per-batch combiner →
+    hour-keyed exchange) produces the bounded hour table; the window fold
+    runs on the driver over that table (hours = time-range/3600 — KB-scale
+    even at years of data; a decade is <90k rows). Output:
+    (hour, n, n_window)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = (
+            pa.table({"hour": hour})
+            .group_by("hour")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["hour", "n"])
+
+    hourly = (
+        hash_bucket_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["hour"],
+            {"n": ("n", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("hour", ignore_index=True)
+    )
+    hs = hourly["hour"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    counts = hourly["n"].to_numpy().astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    lo = np.searchsorted(hs, hs - (SLIDING_HOURS - 1) * 3_600_000_000, side="left")
+    n_window = cum[np.arange(1, len(hs) + 1)] - cum[lo]
+    return pa.table(
+        {
+            "hour": pa.array(hourly["hour"], pa.timestamp("us")),
+            "n": pa.array(counts),
+            "n_window": pa.array(n_window, pa.int64()),
+        }
+    )
+
+
+SQL_SLIDING_EVENT_COUNTS = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1
+)
+SELECT hour, n,
+       CAST(sum(n) OVER (ORDER BY hour
+            RANGE BETWEEN INTERVAL {SLIDING_HOURS - 1} HOUR PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS n_window
+FROM h
+"""
+
+
 def q_asof_last_signup(sf_dir: str):
     """As-of join: for every event, the most recent prior-or-equal 'signup'
     timestamp of the same user — the engine's range/as-of join operator

@@ -490,6 +490,48 @@ SELECT source, doc_id FROM _r WHERE rn <= {k}
 """
 
 
+def sql_quantize_embeddings(k_rows: int = 20) -> str:
+    """Twin of q_quantize_embeddings: identical float64 chain (cast → scale
+    from max|v| → multiply → half-away round), exploded per dimension."""
+    return f"""
+WITH _e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {k_rows}
+), _s AS (
+  SELECT vec_id, v,
+         127.0 / greatest(
+           list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) AS scale
+  FROM _e
+), _j AS (
+  SELECT vec_id, v, scale, unnest(generate_series(1, len(v))) AS j FROM _s
+)
+SELECT vec_id, CAST(j - 1 AS INTEGER) AS dim_idx,
+       CAST(round(v[j] * scale) AS INTEGER) AS qval,
+       round(scale, 6) AS scale
+FROM _j
+"""
+
+
+def sql_token_entropy() -> str:
+    """Twin of q_token_entropy: Shannon entropy of each doc's token
+    multiset (docs with no tokens produce no row)."""
+    return r"""
+WITH _tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), _tf AS (
+  SELECT doc_id, token, count(*) AS c FROM _tok WHERE token <> '' GROUP BY 1, 2
+), _n AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM _tf GROUP BY 1
+)
+SELECT n.doc_id, n.n_tokens,
+       round(-sum((tf.c / CAST(n.n_tokens AS DOUBLE))
+                  * ln(tf.c / CAST(n.n_tokens AS DOUBLE))), 6) AS entropy
+FROM _tf tf JOIN _n n USING (doc_id)
+GROUP BY n.doc_id, n.n_tokens
+"""
+
+
 def sql_mm_decode() -> str:
     return """
 SELECT doc_id,

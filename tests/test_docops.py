@@ -1,0 +1,94 @@
+"""Pinned examples for the round-3 document operators: quantization bounds,
+token entropy, sequence packing, stratified sampling."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import q_quantize_embeddings
+
+    out = q_quantize_embeddings(sf_dir).to_pandas()
+    assert out.qval.abs().max() == 127  # the max-|v| element hits full scale
+    assert (out.qval.abs() <= 127).all()
+    # dequantized error bounded by half a quantization step per element
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().set_index("vec_id")
+    for vid, g in out.groupby("vec_id"):
+        v = np.asarray(emb.loc[vid, "embedding"], dtype=np.float64)
+        scale = g["scale"].iloc[0]
+        deq = g.sort_values("dim_idx")["qval"].to_numpy() / scale
+        assert np.abs(deq - v).max() <= 0.5 / scale + 1e-9
+
+
+def test_token_entropy_pinned():
+    from doc_quality_check_ray.pipelines.documents import q_token_entropy
+    import ray.data
+    from unittest.mock import patch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a a b b", "x x x x", "   ", None], pa.string()),
+        }
+    )
+    with patch(
+        "doc_quality_check_ray.pipelines.documents._docs",
+        lambda _: ray.data.from_arrow(t),
+    ):
+        out = q_token_entropy("ignored").to_pandas().set_index("doc_id")
+    assert set(out.index) == {1, 2}  # blank/null docs emit no row
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[1, "entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out.loc[2, "entropy"] == 0.0
+
+
+def test_pack_chunks_capacity_and_order(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import (
+        PACK_CAPACITY,
+        PACK_CHUNK,
+        q_pack_chunks,
+    )
+
+    out = q_pack_chunks(sf_dir).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"], ignore_index=True
+    )
+    # bins are contiguous non-decreasing in corpus (doc_id, chunk_idx) order
+    assert (out["bin_id"].diff().fillna(0) >= 0).all()
+    assert out["bin_id"].iloc[0] == 0
+    # token mass of chunks STARTING in a bin is bounded by capacity plus one
+    # straddling chunk (chunks are <= PACK_CHUNK tokens; doc tails shorter)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    T = {
+        r["doc_id"]: len([w for w in (r["text"] or "").split() if w])
+        for r in docs.to_pylist()
+    }
+    size = np.minimum(
+        PACK_CHUNK,
+        out["doc_id"].map(T).to_numpy() - out["chunk_idx"].to_numpy() * PACK_CHUNK,
+    )
+    assert (size > 0).all()
+    mass = out.assign(size=size).groupby("bin_id")["size"].sum()
+    assert mass.max() <= PACK_CAPACITY + PACK_CHUNK - 1
+    # every bin except the last is filled to at least capacity - (chunk - 1)
+    assert mass.iloc[:-1].min() >= PACK_CAPACITY - PACK_CHUNK + 1
+
+
+def test_stratified_sample_quota(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import (
+        STRATIFIED_K,
+        q_stratified_sample,
+    )
+
+    out = q_stratified_sample(sf_dir).to_pandas()
+    sizes = out.groupby("source").size()
+    assert (sizes <= STRATIFIED_K).all()
+    assert not out.duplicated(["source", "doc_id"]).any()
