@@ -47,8 +47,11 @@ QUERY_NAMES = [
     "t_two_tier_scores",
     "d_winnow_pairs",
     "d_sample_documents",
+    "d_pack_chunks",
+    "t_token_entropy",
     "mm_frame_sample",
     "e_user_sessions",
+    "e_sliding_event_counts",
     "e_hourly_event_counts",
     "r_pricing_summary",
     "r_events_by_nation",
