@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_sample_documents": D.q_sample_documents,
         "d_decontaminate": D.q_decontaminate,
         "d_dup_components": D.q_dup_components,
+        "d_dedup_keep": D.q_dedup_keep,
         "d_pack_chunks": D.q_pack_chunks,
         "d_stratified_sample": D.q_stratified_sample,
         "d_quantize_embeddings": D.q_quantize_embeddings,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
         "d_decontaminate": O.sql_decontaminate(D.SAMPLE_HEX_LT),
         "d_dup_components": O.sql_dup_components(),
+        "d_dedup_keep": O.sql_dedup_keep(),
         "d_pack_chunks": O.sql_pack_chunks(D.PACK_CHUNK, D.PACK_CAPACITY),
         "d_stratified_sample": O.sql_stratified_sample(D.STRATIFIED_K),
         "d_quantize_embeddings": O.sql_quantize_embeddings(),

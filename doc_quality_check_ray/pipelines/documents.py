@@ -463,6 +463,27 @@ def q_dup_components(sf_dir: str, threshold: float = 0.25):
     return connected_components(ngram_jaccard_pairs(ds, threshold=threshold))
 
 
+def q_dedup_keep(sf_dir: str, threshold: float = 0.25):
+    """End-to-end near-dup suppression: pairs → components → the corpus with
+    every non-canonical cluster member dropped (keep the min-id doc per
+    duplicate cluster plus all singletons). The drop side goes through the
+    id-keyed hash-bucket anti-join (:func:`~...stages.dedup.drop_ids`), not
+    a broadcast — the drop list is duplicate-proportional and may be huge at
+    100 TB. SQL twin: recursive components + NOT IN."""
+    from ..stages.dedup import drop_ids
+    from ..stages.graph import connected_components
+    import pyarrow.compute as _pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    comp = connected_components(ngram_jaccard_pairs(ds, threshold=threshold))
+    drop = comp.filter(_pc.not_equal(comp["doc_id"], comp["component_id"])).select(
+        ["doc_id"]
+    )
+    return drop_ids(_docs(sf_dir), drop)
+
+
 #: sequence packing: context-window capacity (tokens) and chunk size
 PACK_CAPACITY = 512
 PACK_CHUNK = 32

@@ -450,6 +450,17 @@ SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component_id FROM walk GROUP BY v
 """
 
 
+def sql_dedup_keep(threshold: float = 0.25) -> str:
+    """Twin of q_dedup_keep: corpus minus non-canonical cluster members."""
+    comp = sql_dup_components(threshold)
+    return f"""
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({comp}) WHERE doc_id <> component_id
+)
+"""
+
+
 def sql_pack_chunks(chunk: int = 32, capacity: int = 512) -> str:
     """Twin of q_pack_chunks: window cumsum over doc_id order. Token count
     = non-empty tokens after a \\s+ split (robust to any whitespace framing,

@@ -650,6 +650,50 @@ def decontaminate(
     )
 
 
+def drop_ids(
+    corpus: ray.data.Dataset,
+    drop: pa.Table,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Anti-join the corpus against a drop-id table — the suppression step
+    after near-dup clustering (drop list may be corpus-proportional at
+    100 TB, so no broadcast: both sides hash-bucket by id, each bucket
+    filters locally — the :func:`decontaminate` pattern keyed on ids)."""
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t[c] for c in t.column_names}
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        cols["__bucket"] = pa.array(ids % num_buckets)
+        return pa.table(cols)
+
+    corpus_schema = pa.schema(list(corpus.schema().base_schema))
+    corpus_cols = [f.name for f in corpus_schema]
+
+    def pad_drop(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            f.name: (t[id_col] if f.name == id_col else pa.nulls(t.num_rows, f.type))
+            for f in corpus_schema
+        }
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols["__bucket"] = pa.array(ids % num_buckets)
+        return pa.table(cols)
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        block = set(g.loc[g["__side"] == 0, id_col])
+        keep = g[(g["__side"] == 1) & ~g[id_col].isin(block)]
+        return pa.Table.from_pandas(
+            keep[corpus_cols], schema=corpus_schema, preserve_index=False
+        )
+
+    tagged = corpus.map_batches(tag_corpus, batch_format="pyarrow").union(
+        ray.data.from_arrow(pad_drop(drop))
+    )
+    return tagged.groupby("__bucket").map_groups(anti, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # winnowing (rolling-hash) fingerprint near-dup
 # ---------------------------------------------------------------------------

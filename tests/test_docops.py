@@ -92,3 +92,16 @@ def test_stratified_sample_quota(sf_dir):
     sizes = out.groupby("source").size()
     assert (sizes <= STRATIFIED_K).all()
     assert not out.duplicated(["source", "doc_id"]).any()
+
+
+def test_dedup_keep_drops_non_canonical(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import (
+        q_dedup_keep,
+        q_dup_components,
+    )
+
+    kept = set(q_dedup_keep(sf_dir).to_pandas().doc_id)
+    comp = q_dup_components(sf_dir).to_pandas()
+    dropped = set(comp[comp.doc_id != comp.component_id].doc_id)
+    assert dropped and dropped.isdisjoint(kept)  # non-canonical gone
+    assert set(comp.component_id) <= kept  # every cluster keeps its canon
