@@ -887,20 +887,47 @@ def ngram_jaccard_pairs(
     Each group must fit one task — use LSH for unpartitioned corpora."""
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact all-pairs Jaccard via co-occurrence counting instead of a
+        quadratic pairwise loop: after per-doc shingle dedup, sort the flat
+        (hash, doc) pairs by hash — every run of length m contributes its
+        m·(m-1)/2 doc pairs one shared-shingle count each. Work is
+        Σ m(m-1)/2 over co-occurring shingles (≈ the true intersection
+        mass), not n²·set-ops; jaccard = c / (|a| + |b| - c)."""
+        n = len(g)
         toks, offs = token_hashes(pa.array(g[text_col].tolist(), pa.string()))
         sh, so = shingle_hashes(toks, offs, k=shingle_k)
-        sets = [np.unique(sh[so[i]: so[i + 1]]) for i in range(len(g))]
+        doc_of = np.repeat(np.arange(n), np.diff(so))
+        # distinct (doc, shingle)
+        order = np.lexsort((sh, doc_of))
+        d, v = doc_of[order], sh[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        d, v = d[keep], v[keep]
+        sizes = np.bincount(d, minlength=n).astype(np.int64)
+        # runs of equal shingle value across docs
+        order = np.argsort(v, kind="mergesort")
+        d2, v2 = d[order], v[order]
+        run_start = np.ones(len(v2), dtype=bool)
+        run_start[1:] = v2[1:] != v2[:-1]
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, len(v2)))
+        inter: dict[int, int] = {}
+        for s, m in zip(starts[lens > 1], lens[lens > 1]):
+            docs = np.sort(d2[s : s + m])
+            r, c = np.triu_indices(m, k=1)
+            for key in docs[r] * n + docs[c]:
+                inter[key] = inter.get(key, 0) + 1
         ids = g[id_col].to_numpy()
-        order = np.argsort(ids)
         rows = []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                sim = jaccard(sets[i], sets[j])
-                if sim >= threshold:
-                    rows.append(
-                        (int(ids[i]), int(ids[j]), round_half_away_scalar(sim, 6))
-                    )
+        for key, cnt in inter.items():
+            i, j = divmod(int(key), n)
+            sim = cnt / float(sizes[i] + sizes[j] - cnt)
+            if sim >= threshold:
+                a, b = int(ids[i]), int(ids[j])
+                if a > b:
+                    a, b = b, a
+                rows.append((a, b, round_half_away_scalar(sim, 6)))
+        rows.sort()
         out = pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"])
         return out.astype({"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
 
