@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_stratified_sample": D.q_stratified_sample,
         "d_quantize_embeddings": D.q_quantize_embeddings,
         "t_token_entropy": D.q_token_entropy,
+        "t_tfidf_top_terms": D.q_tfidf_top_terms,
+        "d_epoch_shuffle": D.q_epoch_shuffle,
         "mm_decode": D.q_mm_decode,
         "mm_frame_sample": D.q_mm_frame_sample,
         "d_chunk_documents": D.q_chunk_documents,
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_asof_last_signup": E.q_asof_last_signup,
         "e_hourly_event_counts": E.q_hourly_event_counts,
         "e_sliding_event_counts": E.q_sliding_event_counts,
+        "e_signup_attribution": E.q_signup_attribution,
         # relational operators over the TPC-H-ish tables
         "r_pricing_summary": R.q_pricing_summary,
         "r_events_by_nation": R.q_events_by_nation,
@@ -129,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "d_stratified_sample": O.sql_stratified_sample(D.STRATIFIED_K),
         "d_quantize_embeddings": O.sql_quantize_embeddings(),
         "t_token_entropy": O.sql_token_entropy(),
+        "t_tfidf_top_terms": O.sql_tfidf_top_terms(D.TFIDF_K),
+        "d_epoch_shuffle": O.sql_epoch_shuffle(D.EPOCH_SHUFFLE_SEED),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
         "e_sliding_event_counts": E.SQL_SLIDING_EVENT_COUNTS,
         "r_pricing_summary": R.SQL_PRICING_SUMMARY,
@@ -145,4 +150,5 @@ def oracle_sql() -> dict[str, str]:
         "e_parse_props": E.SQL_PARSE_PROPS,
         "e_user_sessions": E.SQL_USER_SESSIONS,
         "e_asof_last_signup": E.SQL_ASOF_LAST_SIGNUP,
+        "e_signup_attribution": E.SQL_SIGNUP_ATTRIBUTION,
     }

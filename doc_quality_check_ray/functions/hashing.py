@@ -387,6 +387,38 @@ def md5_digests_short(msgs: np.ndarray, lens: np.ndarray) -> np.ndarray:
 _POW10 = (10 ** np.arange(20, dtype=np.float64)).astype(np.uint64)
 
 
+def md5_digests_of_prefixed_ints(
+    prefix: bytes, ids: np.ndarray, chunk: int = 16384
+) -> np.ndarray:
+    """(N, 16) digests of ``md5(prefix + str(i))`` per non-negative id,
+    fully vectorized — the seeded-permutation kernel of the epoch shuffle
+    (oracle twin: DuckDB ``md5(prefix || CAST(id AS VARCHAR))``).
+
+    Single-block schedule: ``len(prefix) + 20`` decimal digits must stay
+    ≤ 55 bytes. Digits are produced numerically as in
+    :func:`md5_first_byte_of_ints`; rounds run in cache-sized chunks.
+    """
+    p = np.frombuffer(prefix, dtype=np.uint8)
+    np_ = len(p)
+    if np_ + 20 > 55:
+        raise ValueError("prefix too long for single-block MD5")
+    ids_u = np.asarray(ids).astype(np.uint64)
+    n = len(ids_u)
+    nd = np.maximum(np.searchsorted(_POW10, ids_u, side="right"), 1).astype(np.int64)
+    out = np.empty((n, 16), dtype=np.uint8)
+    for lo in range(0, n, chunk):
+        sl = slice(lo, min(lo + chunk, n))
+        v, d = ids_u[sl], nd[sl]
+        msgs = np.zeros((len(v), 64), dtype=np.uint8)
+        msgs[:, :np_] = p
+        for j in range(int(d.max()) if len(d) else 0):
+            e = np.clip(d - 1 - j, 0, 19)
+            digit = (v // _POW10[e]) % np.uint64(10)
+            np.copyto(msgs[:, np_ + j], (48 + digit).astype(np.uint8), where=(j < d))
+        out[sl] = md5_digests_short(msgs, d + np_)
+    return out
+
+
 def md5_first_byte_of_ints(ids: np.ndarray, chunk: int = 16384) -> np.ndarray:
     """First digest byte of ``md5(str(i))`` per non-negative id, fully
     vectorized — the hot kernel of deterministic hash sampling

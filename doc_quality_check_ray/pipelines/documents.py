@@ -766,6 +766,196 @@ def q_token_entropy(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: top-k terms kept per document in the TF-IDF ranking
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
+    """Per-document TF-IDF top-k terms — keyword extraction for training-data
+    quality routing: ``score = tf · ln(N / df)``, the k highest-scoring terms
+    of every document.
+
+    Scale shape: the document-frequency table is built with one per-batch
+    combiner (distinct (doc, token) within the batch — exact, since a doc is
+    one row) + a token-keyed exchange, then broadcast once via ``ray.put``
+    (vocabulary-sized; at web scale gate it with a min-df / top-V cap and
+    log the drop). The scoring pass is then embarrassingly parallel: per-doc
+    tf and top-k never leave their batch — no second exchange. Scores are
+    rounded half-away to 6 decimals on both twins (the house PSI/KL pattern)
+    so libm-vs-DuckDB ``ln`` ulp noise cannot reorder or hash-mismatch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    from ..functions.rounding import pc_round_half_away
+
+    def _tok_pairs(t: pa.Table):
+        """(doc_row_idx, token) pairs, ''-filtered, as a pyarrow table."""
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        n_toks = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), n_toks)
+        pairs = pa.table({"d": pa.array(idx), "token": flat})
+        return pairs.filter(pc.not_equal(pairs["token"], ""))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        distinct = _tok_pairs(t).group_by(["d", "token"]).aggregate([])
+        return (
+            distinct.group_by("token")
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", "df"])
+        )
+
+    docs = _docs(sf_dir)
+    df_tbl = hash_bucket_aggregate(
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"],
+        {"df": ("df", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    n_docs = docs.count()
+    df_ref = _ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype("int64"))))
+
+    def score(t: pa.Table) -> pa.Table:
+        df_map = _ray.get(df_ref)
+        pairs = _tok_pairs(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ids[pairs["d"].to_numpy()],
+                "token": pairs["token"].to_pylist(),
+            }
+        )
+        tf = (
+            pdf.groupby(["doc_id", "token"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        dfv = tf["token"].map(df_map).to_numpy(dtype=np.float64)
+        raw = tf["tf"].to_numpy(dtype=np.float64) * np.log(float(n_docs) / dfv)
+        tf["score"] = pc_round_half_away(pa.array(raw, pa.float64()), 6).to_numpy(
+            zero_copy_only=False
+        )
+        top = (
+            tf.sort_values(
+                ["doc_id", "score", "token"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+                "token": pa.array(top["token"], pa.string()),
+                "tf": pa.array(top["tf"].to_numpy(), pa.int64()),
+                "score": pa.array(top["score"].to_numpy(), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: seed prefix + range-partition fan-out of the deterministic epoch shuffle
+EPOCH_SHUFFLE_SEED = "epoch7:"
+EPOCH_SHUFFLE_BUCKETS = 64
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle with a verifiable global position:
+    ``pos = rank of md5(seed || doc_id)`` — the "reshuffle the corpus each
+    epoch by a seeded hash" training primitive, resumable because the
+    permutation is pure state-free arithmetic.
+
+    No sort shuffle: the digest's top 6 bits are a uniform RANGE partition,
+    so (1) per-batch bucket counts → tiny exchange → driver exclusive-cumsum
+    over 64 bucket totals (2^B at cluster scale, O(2^B) driver state);
+    (2) one bucket-keyed exchange co-locates each digest range, which sorts
+    locally and assigns ``offset + local rank``. Only (doc_id, hi, lo) ever
+    moves — never text. Hex-string order (the oracle's ``ORDER BY md5(...)``)
+    equals big-endian (hi, lo) numeric order, so the twins agree exactly;
+    ties (digest collisions) break on doc_id on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = md5_digests_of_prefixed_ints(
+            EPOCH_SHUFFLE_SEED.encode(), ids.astype(np.uint64)
+        )
+        hi = dg[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        lo = dg[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+        bucket = (hi >> np.uint64(58)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "hi": pa.array(hi, pa.uint64()),
+                "lo": pa.array(lo, pa.uint64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    keyed_ds = ds.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # the range bucket is renamed "rb" for the count exchange — the exchange
+    # itself appends its own hash-bucket column named "bucket"
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["bucket"])
+            .group_by("bucket")
+            .aggregate([([], "count_all")])
+            .rename_columns(["rb", "n"])
+        )
+
+    counts = (
+        hash_bucket_aggregate(
+            keyed_ds.map_batches(count_partial, batch_format="pyarrow"),
+            ["rb"],
+            {"n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("rb", ignore_index=True)
+    )
+    offsets = dict(
+        zip(
+            counts["rb"],
+            np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]),
+        )
+    )
+    off_ref = _ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        g = g.sort_values(["hi", "lo", "doc_id"], kind="mergesort")
+        base = int(offs[int(g["bucket"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed_ds.groupby("bucket").map_groups(rank, batch_format="pandas")
+
+
 # -- multimodal -------------------------------------------------------------
 
 

@@ -218,6 +218,92 @@ FROM h
 """
 
 
+#: attribution window after each signup (seconds)
+ATTRIB_WINDOW_SEC = 86_400
+
+
+def q_signup_attribution(sf_dir: str):
+    """Interval/range join: for every 'signup' event, the count and value-sum
+    of the SAME user's events in the following window ``(ts, ts + 1 day]`` —
+    the engine's range-join operator (brief: "range join" as a composition
+    Ray Data lacks natively).
+
+    Shape: hash-bucket co-partition by user (one exchange, both sides are
+    the same table so it is one pass), then a per-task vectorized interval
+    probe — each user's events are time-sorted once and every signup's
+    window is resolved with two ``searchsorted`` calls on a composite
+    (group, ts) key; window sums come from one ``np.add.reduceat`` pass.
+    No row-pair materialization at any point. Partitioning assumption
+    (documented per the custom-operator rule): one user's events fit one
+    task; salt hot users by time-slice at scale. Sums are rounded half-away
+    to 6 on both twins (accumulation-order ulps).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid % 64).astype(np.int64)))
+
+    win_us = ATTRIB_WINDOW_SEC * 1_000_000
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        # composite key (group_index, ts - ts_min): SPAN > range + window
+        # keeps every user's keys in a disjoint band, so one searchsorted
+        # over the whole task resolves all per-user windows at once
+        grp = np.r_[0, np.cumsum(uid[1:] != uid[:-1])].astype(np.int64)
+        t0 = ts.min() if len(ts) else 0
+        span = (ts.max() - t0 if len(ts) else 0) + win_us + 2
+        key = grp * span + (ts - t0)
+        is_s = (g["event_type"] == "signup").to_numpy()
+        ks = key[is_s]
+        lo = np.searchsorted(key, ks, side="right")
+        hi = np.searchsorted(key, ks + win_us, side="right")
+        vpad = np.r_[val, 0.0]
+        idx = np.empty(2 * len(ks), dtype=np.int64)
+        idx[0::2] = lo
+        idx[1::2] = hi
+        sums = (
+            np.add.reduceat(vpad, idx)[0::2]
+            if len(ks)
+            else np.empty(0, dtype=np.float64)
+        )
+        sums = np.where(hi > lo, sums, 0.0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[is_s],
+                "n_follow": (hi - lo).astype("int64"),
+                "follow_value": round_half_away(sums, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(attrib, batch_format="pandas")
+    )
+
+
+SQL_SIGNUP_ATTRIBUTION = f"""
+SELECT s.event_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_follow,
+       round(coalesce(sum(e.value), 0.0), 6) AS follow_value
+FROM events s LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL {ATTRIB_WINDOW_SEC} SECONDS
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id
+"""
+
+
 def q_asof_last_signup(sf_dir: str):
     """As-of join: for every event, the most recent prior-or-equal 'signup'
     timestamp of the same user — the engine's range/as-of join operator

@@ -369,6 +369,43 @@ SELECT token, count(*) AS n FROM (
 """
 
 
+def sql_tfidf_top_terms(k: int = 3) -> str:
+    """Twin of q_tfidf_top_terms: score = round(tf · ln(N/df), 6); top-k per
+    doc ordered by (rounded score DESC, token ASC) — the rounded value is
+    the sort key on both twins so libm-vs-DuckDB ln ulps cannot reorder."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok WHERE token <> '' GROUP BY 1
+), s AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df), 6)
+           AS score
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM s
+) WHERE rn <= {k}
+"""
+
+
+def sql_epoch_shuffle(seed: str) -> str:
+    """Twin of q_epoch_shuffle: pos = 0-based rank of md5(seed || doc_id);
+    hex-string order = big-endian digest order, tie-break on doc_id."""
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+              ORDER BY md5('{seed}' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS pos
+FROM documents
+"""
+
+
 def sql_two_tier_scores(cutoff: float) -> str:
     """Twin of stages.two_tier two-tier scoring over documents: cheap =
     coalesced alpha-ratio, expensive = banded quality score, keep best."""

@@ -36,3 +36,20 @@ def test_md5_first_byte_of_ints_matches_hashlib():
         assert (hashlib.md5(str(i).encode()).hexdigest()[:2] < "10") == (
             hashlib.md5(str(i).encode()).digest()[0] < 0x10
         )
+
+
+def test_md5_digests_of_prefixed_ints_matches_hashlib():
+    from doc_quality_check_ray.functions.hashing import md5_digests_of_prefixed_ints
+
+    ids = np.array([0, 1, 7, 499, 10**6, 10**12 + 3, 2**62], dtype=np.int64)
+    got = md5_digests_of_prefixed_ints(b"epoch7:", ids.astype(np.uint64))
+    for row, i in zip(got, ids):
+        assert bytes(row) == hashlib.md5(f"epoch7:{i}".encode()).digest(), i
+    # hex-string order == big-endian (hi, lo) numeric order (the epoch
+    # shuffle's cross-twin ordering claim)
+    hexes = [hashlib.md5(f"epoch7:{i}".encode()).hexdigest() for i in ids]
+    hi = got[:, :8].copy().view(">u8").ravel()
+    lo = got[:, 8:].copy().view(">u8").ravel()
+    order_hex = sorted(range(len(ids)), key=lambda j: hexes[j])
+    order_num = sorted(range(len(ids)), key=lambda j: (hi[j], lo[j]))
+    assert order_hex == order_num
