@@ -49,6 +49,9 @@ QUERY_NAMES = [
     "d_sample_documents",
     "d_pack_chunks",
     "t_token_entropy",
+    "t_tfidf_top_terms",
+    "d_epoch_shuffle",
+    "e_signup_attribution",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",
