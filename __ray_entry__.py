@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_entropy": D.q_token_entropy,
         "t_tfidf_top_terms": D.q_tfidf_top_terms,
         "d_epoch_shuffle": D.q_epoch_shuffle,
+        "t_repetition_scores": D.q_repetition_scores,
+        "t_unigram_logprob": D.q_unigram_logprob,
+        "t_inverted_index": D.q_inverted_index,
         "mm_decode": D.q_mm_decode,
         "mm_frame_sample": D.q_mm_frame_sample,
         "d_chunk_documents": D.q_chunk_documents,
@@ -134,6 +137,9 @@ def oracle_sql() -> dict[str, str]:
         "t_token_entropy": O.sql_token_entropy(),
         "t_tfidf_top_terms": O.sql_tfidf_top_terms(D.TFIDF_K),
         "d_epoch_shuffle": O.sql_epoch_shuffle(D.EPOCH_SHUFFLE_SEED),
+        "t_repetition_scores": O.SQL_REPETITION_SCORES,
+        "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
+        "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
         "e_sliding_event_counts": E.SQL_SLIDING_EVENT_COUNTS,
         "r_pricing_summary": R.SQL_PRICING_SUMMARY,

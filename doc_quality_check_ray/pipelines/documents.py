@@ -956,6 +956,263 @@ def q_epoch_shuffle(sf_dir: str):
     return keyed_ds.groupby("bucket").map_groups(rank, batch_format="pandas")
 
 
+def _doc_token_hashes(t: pa.Table):
+    """(flat token hashes, row_of, n_per_row, doc_ids) for a documents batch,
+    with blank/null-text rows contributing zero tokens (the SQL twins'
+    ``trim(coalesce(text,'')) <> ''`` filter)."""
+    import numpy as np
+
+    from ..functions.hashing import token_hashes
+
+    toks, offs = token_hashes(t["text"])
+    n_row = np.diff(offs)
+    row_of = np.repeat(np.arange(len(n_row)), n_row)
+    blank = pc.equal(
+        pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), ""
+    ).to_numpy(zero_copy_only=False)
+    keep = ~blank[row_of]
+    toks, row_of = toks[keep], row_of[keep]
+    n_per_row = np.bincount(row_of, minlength=len(n_row)).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    return toks, row_of, n_per_row, ids
+
+
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style within-document repetition quality signals (Rae et al.
+    2021's repetition filters, public construction): per document,
+    ``top_token_frac`` = count of the most frequent token / n_tokens, and
+    ``dup_bigram_frac`` = 1 − distinct_bigrams / total_bigrams (0.0 for
+    single-token docs). High values flag looping / boilerplate text.
+
+    Embarrassingly parallel — one pass, no exchange: per-batch flat token
+    hashes, lexsort + run-length for per-doc token counts (the entropy
+    kernel), consecutive-pair mixing + a second lexsort for distinct
+    bigrams. Docs with no tokens emit no row (SQL twin groups nothing).
+    Fractions rounded half-away to 6 on both twins.
+    """
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        present = np.flatnonzero(n_per_row > 0)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "top_token_frac": pa.array([], pa.float64()),
+                    "dup_bigram_frac": pa.array([], pa.float64()),
+                }
+            )
+        # per-doc max token multiplicity: sort (row, tok), run-length counts,
+        # segmented max via np.maximum.at
+        order = np.lexsort((toks, row_of))
+        r, v = row_of[order], toks[order]
+        new_run = np.ones(len(r), dtype=bool)
+        new_run[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+        run_ids = np.cumsum(new_run) - 1
+        cnt = np.bincount(run_ids)
+        top = np.zeros(len(n_per_row), dtype=np.int64)
+        np.maximum.at(top, r[new_run], cnt)
+        # per-doc distinct bigrams over consecutive in-row pairs
+        pair_mask = np.zeros(len(toks), dtype=bool)
+        if len(toks) > 1:
+            pair_mask[:-1] = row_of[:-1] == row_of[1:]
+        p = np.flatnonzero(pair_mask)
+        M1, M2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+        big = toks[p] * M1 + toks[p + 1] * M2
+        brow = row_of[p]
+        border = np.lexsort((big, brow))
+        br, bv = brow[border], big[border]
+        bnew = np.ones(len(br), dtype=bool)
+        bnew[1:] = (br[1:] != br[:-1]) | (bv[1:] != bv[:-1])
+        distinct_bg = np.bincount(br[bnew], minlength=len(n_per_row))
+        total_bg = np.maximum(n_per_row - 1, 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(
+                total_bg > 0, 1.0 - distinct_bg / np.maximum(total_bg, 1), 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_tokens": pa.array(n_per_row[present]),
+                "top_token_frac": pa.array(
+                    round_half_away(
+                        top[present] / n_per_row[present].astype(np.float64), 6
+                    ),
+                    pa.float64(),
+                ),
+                "dup_bigram_frac": pa.array(
+                    round_half_away(dup[present], 6), pa.float64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style LM-score filtering (Wenzek et al. 2020, public
+    construction), with the corpus's own unigram distribution as the LM:
+    per document, the cross-entropy ``xent = mean(-ln(c_t / T))`` over its
+    tokens, where ``c_t`` is the corpus-wide count of token ``t`` and ``T``
+    the corpus token total. Low = stereotypical text, high = rare-token text.
+
+    Scale shape: per-batch partial token-hash counts (vocab-sized) → one
+    token-keyed hash-bucket exchange → the vocabulary table (≪ corpus)
+    broadcast ONCE via ``ray.put`` as a sorted hash array + logprob array;
+    the scoring pass is then exchange-free — per-batch ``searchsorted``
+    lookup + segmented mean. At web scale gate the broadcast with a min-count
+    floor (rare tail → a single UNK bucket) and log the drop.
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    from ..functions.rounding import round_half_away
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks, _, _, _ = _doc_token_hashes(t)
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"h": pa.array(u, pa.uint64()), "c": pa.array(c.astype(np.int64))}
+        )
+
+    docs = _docs(sf_dir)
+    lm = hash_bucket_aggregate(
+        docs.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        {"c": ("c", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    hs = lm["h"].to_numpy().astype(np.uint64)
+    cs = lm["c"].to_numpy().astype(np.float64)
+    order = np.argsort(hs)
+    hs, cs = hs[order], cs[order]
+    T = cs.sum()
+    lm_ref = _ray.put((hs, np.log(cs / T)))
+
+    def score(t: pa.Table) -> pa.Table:
+        hs_b, logp_b = _ray.get(lm_ref)
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        present = np.flatnonzero(n_per_row > 0)
+        s = np.zeros(len(n_per_row), dtype=np.float64)
+        if len(toks):
+            lp = logp_b[np.searchsorted(hs_b, toks)]
+            np.add.at(s, row_of, lp)
+        xent = -s[present] / n_per_row[present]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_tokens": pa.array(n_per_row[present]),
+                "xent": pa.array(round_half_away(xent, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: posting-list cap of the inverted index (first K doc_ids per token)
+POSTINGS_K = 20
+
+
+def q_inverted_index(sf_dir: str, k: int = POSTINGS_K):
+    """Inverted-index build — token → (df, tf, first-K posting list), the
+    search-index construction step of a corpus pipeline.
+
+    Scale shape: per-batch combiner emits one row per (token, batch) with
+    partial df / tf and a partial posting list ALREADY capped at K (a doc
+    lives in exactly one batch, so batch-local doc sets are disjoint and
+    per-batch capping loses nothing the merged cap keeps... except when a
+    later batch holds smaller doc_ids — caps are min-K, and merging min-K
+    lists then re-capping is exact because the global min-K is contained in
+    the union of per-batch min-Ks). One token-keyed exchange merges
+    vocabulary-sized partials; per-token reducer work is O(batches · K),
+    never corpus-sized. Postings ship as comma-joined strings (the oracle's
+    ``string_agg``), tokens as plain strings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        n_toks = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {
+                "token": flat.to_pylist(),
+                "doc_id": np.repeat(ids, n_toks),
+            }
+        )
+        pdf = pdf[pdf["token"] != ""]
+        dt = (
+            pdf.groupby(["token", "doc_id"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+            .sort_values(["token", "doc_id"], kind="mergesort")
+        )
+        g = dt.groupby("token", sort=False)
+        out = g.agg(
+            df=("doc_id", "size"),
+            tf=("c", "sum"),
+        ).reset_index()
+        out["postings"] = g["doc_id"].apply(
+            lambda s: ",".join(str(i) for i in s.head(k))
+        ).to_numpy()
+        return pa.Table.from_pandas(
+            out[["token", "df", "tf", "postings"]], preserve_index=False
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(
+            np.concatenate(
+                [
+                    np.array(s.split(","), dtype=np.int64)
+                    for s in g["postings"]
+                ]
+            )
+        )[:k]
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": np.array([g["df"].sum()], dtype=np.int64),
+                "tf": np.array([g["tf"].sum()], dtype=np.int64),
+                "postings": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t["token"].combine_chunks()).hash(seed=7).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(16)).astype(np.int64))
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pd.concat(
+                [merge(x) for _, x in g.groupby("token", sort=False)],
+                ignore_index=True,
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 

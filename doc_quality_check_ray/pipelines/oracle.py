@@ -394,6 +394,75 @@ SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score FROM (
 """
 
 
+SQL_REPETITION_SCORES = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS l
+  FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS i, len(l) AS n
+  FROM tok
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM pos GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+), bg AS (
+  SELECT a.doc_id, count(DISTINCT a.t || ' ' || b.t) AS dn, count(*) AS cb
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1
+)
+SELECT top.doc_id, top.n AS n_tokens,
+       round(top.mc / CAST(top.n AS DOUBLE), 6) AS top_token_frac,
+       round(CASE WHEN bg.doc_id IS NULL THEN 0.0
+                  ELSE 1.0 - bg.dn / CAST(bg.cb AS DOUBLE) END, 6)
+         AS dup_bigram_frac
+FROM top LEFT JOIN bg ON top.doc_id = bg.doc_id
+"""
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+  FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
+), lm AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS T FROM tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(lm.c / (SELECT T FROM tot))), 6) AS xent
+FROM tok JOIN lm USING (t)
+GROUP BY doc_id
+"""
+
+
+def sql_inverted_index(k: int = 20) -> str:
+    """Twin of q_inverted_index: per token, df (docs containing), tf (total
+    occurrences), and the first-k sorted doc_ids comma-joined."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+  FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
+), dt AS (
+  SELECT t AS token, doc_id, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+), r AS (
+  SELECT token, doc_id, c,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM dt
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(c) AS BIGINT) AS tf,
+       string_agg(CASE WHEN rn <= {k} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY token
+"""
+
+
 def sql_epoch_shuffle(seed: str) -> str:
     """Twin of q_epoch_shuffle: pos = 0-based rank of md5(seed || doc_id);
     hex-string order = big-endian digest order, tie-break on doc_id."""
