@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_entropy": D.q_token_entropy,
         "t_tfidf_top_terms": D.q_tfidf_top_terms,
         "d_epoch_shuffle": D.q_epoch_shuffle,
+        "d_split_leakage_safe": D.q_split_leakage_safe,
         "t_repetition_scores": D.q_repetition_scores,
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_inverted_index": D.q_inverted_index,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "t_token_entropy": O.sql_token_entropy(),
         "t_tfidf_top_terms": O.sql_tfidf_top_terms(D.TFIDF_K),
         "d_epoch_shuffle": O.sql_epoch_shuffle(D.EPOCH_SHUFFLE_SEED),
+        "d_split_leakage_safe": O.sql_split_leakage_safe(seed=D.SPLIT_SEED),
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),

@@ -52,6 +52,9 @@ QUERY_NAMES = [
     "t_tfidf_top_terms",
     "d_epoch_shuffle",
     "e_signup_attribution",
+    "t_repetition_scores",
+    "t_unigram_logprob",
+    "t_inverted_index",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

@@ -484,6 +484,87 @@ def q_dedup_keep(sf_dir: str, threshold: float = 0.25):
     return drop_ids(_docs(sf_dir), drop)
 
 
+#: leakage-safe split: seed prefix and validation share (first md5 hex char
+#: in {0,1} → 2/16 = 12.5 % of clusters land in validation)
+SPLIT_SEED = "split1:"
+
+
+def q_split_leakage_safe(sf_dir: str, threshold: float = 0.25):
+    """Leakage-safe train/validation split: every document is assigned by
+    the seeded hash of its near-dup CLUSTER representative (component min-id;
+    singletons represent themselves), so near-duplicate documents can never
+    straddle the split — the contamination guard a training pipeline needs
+    before holding out eval data.
+
+    Scale shape: components come from the distributed min-label propagation
+    (edge-proportional); the corpus picks up its representative through an
+    id-keyed hash-bucket LEFT join (the :func:`~...stages.dedup.drop_ids`
+    pattern — the component table is duplicate-proportional and may be huge
+    at 100 TB, so it is never broadcast). The split decision is pure
+    arithmetic on the representative's seeded md5 (vectorized single-block
+    kernel), reproducible by the oracle's ``md5()`` — val iff the first hex
+    char is '0' or '1' (digest byte 0 < 32).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+    from ..stages.graph import connected_components
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    comp = connected_components(ngram_jaccard_pairs(ds, threshold=threshold))
+    nb = 64
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "component_id": pa.nulls(len(ids), pa.int64()),
+                "__side": pa.array(np.ones(len(ids), np.int8)),
+                "bucket": pa.array(ids % nb),
+            }
+        )
+
+    comp_ids = comp["doc_id"].to_numpy().astype(np.int64)
+    comp_tagged = pa.table(
+        {
+            "doc_id": comp["doc_id"].cast(pa.int64()),
+            "component_id": comp["component_id"].cast(pa.int64()),
+            "__side": pa.array(np.zeros(len(comp_ids), np.int8)),
+            "bucket": pa.array(comp_ids % nb),
+        }
+    )
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        side0 = g[g["__side"] == 0]
+        side1 = g[g["__side"] == 1]
+        rep_map = dict(zip(side0["doc_id"], side0["component_id"]))
+        ids = side1["doc_id"].to_numpy()
+        rep = (
+            side1["doc_id"].map(rep_map).fillna(side1["doc_id"]).to_numpy()
+            .astype(np.int64)
+        )
+        dg = md5_digests_of_prefixed_ints(SPLIT_SEED.encode(), rep.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "rep": rep,
+                "split": np.where(dg[:, 0] < 32, "val", "train"),
+            }
+        )
+
+    ids_only = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (
+        ids_only.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(ray.data.from_arrow(comp_tagged))
+        .groupby("bucket")
+        .map_groups(join, batch_format="pandas")
+    )
+
+
 #: sequence packing: context-window capacity (tokens) and chunk size
 PACK_CAPACITY = 512
 PACK_CHUNK = 32
@@ -779,17 +860,21 @@ def q_tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
     combiner (distinct (doc, token) within the batch — exact, since a doc is
     one row) + a token-keyed exchange, then broadcast once via ``ray.put``
     (vocabulary-sized; at web scale gate it with a min-df / top-V cap and
-    log the drop). The scoring pass is then embarrassingly parallel: per-doc
-    tf and top-k never leave their batch — no second exchange. Scores are
-    rounded half-away to 6 decimals on both twins (the house PSI/KL pattern)
-    so libm-vs-DuckDB ``ln`` ulp noise cannot reorder or hash-mismatch.
+    log the drop). The scoring pass is then embarrassingly parallel AND
+    Python-free: flat token hashes → lexsort run-length (row, token) tf
+    counts → searchsorted lookup into the broadcast (hash, idf, token,
+    string-rank) arrays → one lexsort top-k selection; token strings are
+    gathered from the broadcast vocabulary, never materialized per row.
+    Scores are rounded half-away to 6 decimals on both twins (the house
+    PSI/KL pattern) so libm-vs-DuckDB ``ln`` ulp noise cannot reorder or
+    hash-mismatch; ties on the ROUNDED score break token-ascending on both.
     """
     import numpy as np
-    import pandas as pd
+    import polars as pl
 
     import ray as _ray
 
-    from ..functions.rounding import pc_round_half_away
+    from ..functions.rounding import round_half_away
 
     def _tok_pairs(t: pa.Table):
         """(doc_row_idx, token) pairs, ''-filtered, as a pyarrow table."""
@@ -821,43 +906,50 @@ def q_tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
         num_buckets=16,
     ).to_pandas()
     n_docs = docs.count()
-    df_ref = _ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype("int64"))))
+    # broadcast: hash-sorted (vocab hash, token string, idf, string rank) —
+    # the same polars hash(seed=42) as token_hashes, so the scoring pass can
+    # look tokens up by hash and still emit the exact strings
+    vocab = df_tbl["token"].to_numpy()
+    dfv = df_tbl["df"].to_numpy().astype(np.float64)
+    vh = pl.Series(vocab).hash(seed=42).to_numpy().astype(np.uint64)
+    horder = np.argsort(vh)
+    vh, vocab, dfv = vh[horder], vocab[horder], dfv[horder]
+    srank = np.empty(len(vocab), dtype=np.int64)
+    srank[np.argsort(vocab)] = np.arange(len(vocab))
+    lm_ref = _ray.put((vh, vocab, srank, np.log(float(n_docs) / dfv)))
 
     def score(t: pa.Table) -> pa.Table:
-        df_map = _ray.get(df_ref)
-        pairs = _tok_pairs(t)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        pdf = pd.DataFrame(
-            {
-                "doc_id": ids[pairs["d"].to_numpy()],
-                "token": pairs["token"].to_pylist(),
-            }
-        )
-        tf = (
-            pdf.groupby(["doc_id", "token"], sort=False)
-            .size()
-            .rename("tf")
-            .reset_index()
-        )
-        dfv = tf["token"].map(df_map).to_numpy(dtype=np.float64)
-        raw = tf["tf"].to_numpy(dtype=np.float64) * np.log(float(n_docs) / dfv)
-        tf["score"] = pc_round_half_away(pa.array(raw, pa.float64()), 6).to_numpy(
-            zero_copy_only=False
-        )
-        top = (
-            tf.sort_values(
-                ["doc_id", "score", "token"], ascending=[True, False, True],
-                kind="mergesort",
+        vh_b, vocab_b, srank_b, idf_b = _ray.get(lm_ref)
+        toks, row_of, _, ids = _doc_token_hashes(t)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
             )
-            .groupby("doc_id", sort=False)
-            .head(k)
-        )
+        order = np.lexsort((toks, row_of))
+        r, v = row_of[order], toks[order]
+        new_run = np.ones(len(r), dtype=bool)
+        new_run[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+        tf = np.bincount(np.cumsum(new_run) - 1)
+        rr, vv = r[new_run], v[new_run]
+        vi = np.searchsorted(vh_b, vv)
+        sc = round_half_away(tf.astype(np.float64) * idf_b[vi], 6)
+        sel = np.lexsort((srank_b[vi], -sc, rr))
+        rs = rr[sel]
+        starts = np.r_[0, np.flatnonzero(rs[1:] != rs[:-1]) + 1]
+        run_len = np.diff(np.r_[starts, len(rs)])
+        pos_in_row = np.arange(len(rs)) - np.repeat(starts, run_len)
+        keep = sel[pos_in_row < k]
         return pa.table(
             {
-                "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
-                "token": pa.array(top["token"], pa.string()),
-                "tf": pa.array(top["tf"].to_numpy(), pa.int64()),
-                "score": pa.array(top["score"].to_numpy(), pa.float64()),
+                "doc_id": pa.array(ids[rr[keep]], pa.int64()),
+                "token": pa.array(vocab_b[vi[keep]], pa.string()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.float64()),
             }
         )
 

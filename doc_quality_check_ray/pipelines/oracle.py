@@ -567,6 +567,22 @@ WHERE d.doc_id NOT IN (
 """
 
 
+def sql_split_leakage_safe(threshold: float = 0.25, seed: str = "split1:") -> str:
+    """Twin of q_split_leakage_safe: rep = component min-id (self for
+    singletons); val iff the first hex char of md5(seed || rep) is 0/1."""
+    comp = sql_dup_components(threshold)
+    return f"""
+WITH comp AS ({comp})
+SELECT d.doc_id,
+       CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS rep,
+       CASE WHEN substring(md5('{seed}'
+                 || CAST(coalesce(c.component_id, d.doc_id) AS VARCHAR)), 1, 1)
+                 IN ('0', '1')
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 def sql_pack_chunks(chunk: int = 32, capacity: int = 512) -> str:
     """Twin of q_pack_chunks: window cumsum over doc_id order. Token count
     = non-empty tokens after a \\s+ split (robust to any whitespace framing,
