@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_tfidf_top_terms": D.q_tfidf_top_terms,
         "d_epoch_shuffle": D.q_epoch_shuffle,
         "d_split_leakage_safe": D.q_split_leakage_safe,
+        "d_label_centroids": D.q_label_centroids,
+        "t_quality_gate": D.q_quality_gate,
         "t_repetition_scores": D.q_repetition_scores,
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_inverted_index": D.q_inverted_index,
@@ -139,6 +141,8 @@ def oracle_sql() -> dict[str, str]:
         "t_tfidf_top_terms": O.sql_tfidf_top_terms(D.TFIDF_K),
         "d_epoch_shuffle": O.sql_epoch_shuffle(D.EPOCH_SHUFFLE_SEED),
         "d_split_leakage_safe": O.sql_split_leakage_safe(seed=D.SPLIT_SEED),
+        "d_label_centroids": O.SQL_LABEL_CENTROIDS,
+        "t_quality_gate": O.sql_quality_gate(D.QUALITY_GATE_Q),
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),

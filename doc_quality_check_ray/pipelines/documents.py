@@ -484,6 +484,136 @@ def q_dedup_keep(sf_dir: str, threshold: float = 0.25):
     return drop_ids(_docs(sf_dir), drop)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids — the class-prototype / cluster-center
+    aggregation (k-means M-step, nearest-class-mean classification): for
+    every label, the elementwise mean vector, emitted long-form
+    (label, dim_idx, centroid@6dp).
+
+    Vector-aggregation shape: per-batch partial (label → sum vector, count)
+    via one reshape + ``np.add.at`` — O(batch) work, label-count × dim
+    output; one (label, dim)-keyed hash-bucket exchange merges partials
+    (labels × dim ≪ corpus); the finish pass is a tiny division. Raw
+    vectors never shuffle.
+    """
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(lab)
+        dim = len(flat) // n if n else 0
+        M = flat.reshape(n, dim)
+        u, inv = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(u), dim))
+        np.add.at(S, inv, M)
+        c = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(u, dim)),
+                "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(u))),
+                "s": pa.array(S.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(c, dim)),
+            }
+        )
+
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "dim_idx"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": t["label"],
+                "dim_idx": t["dim_idx"],
+                "centroid": pa.array(round_half_away(s / n, 6), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+#: corpus-percentile cutoff of the quality gate
+QUALITY_GATE_Q = 0.75
+
+
+def q_quality_gate(sf_dir: str, q: float = QUALITY_GATE_Q):
+    """Quality-percentile gate — keep documents whose banded quality score
+    reaches the corpus P75: the "filter to the best quartile" curation step.
+
+    Aggregate→broadcast→filter shape with an EXACT threshold: scores are
+    rounded half-away to 6 (the comparison domain on both twins) and keyed
+    as integers ``round(score·1e6)``; a per-batch (value → count) combiner +
+    hash-bucket exchange builds the bounded distinct-value histogram
+    (≤ 1e6+1 rows by construction), the driver takes the quantile_disc
+    element, and one embarrassingly-parallel filter pass re-derives scores
+    and compares integer keys — two streaming passes, no sort, no
+    materialization of the corpus.
+    """
+    import numpy as np
+
+    from ..functions import textstats as _ts
+    from ..functions.rounding import round_half_away
+
+    docs = _docs(sf_dir)
+
+    def score_key(t: pa.Table) -> np.ndarray:
+        sc = round_half_away(_ts.quality_scores(t["text"]), 6)
+        return np.rint(sc * 1e6).astype(np.int64), sc
+
+    def partial(t: pa.Table) -> pa.Table:
+        key, _ = score_key(t)
+        return (
+            pa.table({"v": pa.array(key)})
+            .group_by("v")
+            .aggregate([([], "count_all")])
+            .rename_columns(["v", "n"])
+        )
+
+    hist = (
+        hash_bucket_aggregate(
+            docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["v"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    cum = np.cumsum(hist["n"].to_numpy())
+    total = int(cum[-1])
+    idx = min(max(int(np.ceil(np.float64(q) * total)), 1), total)
+    thr = int(hist["v"].to_numpy()[np.searchsorted(cum, idx)])
+
+    def gate(t: pa.Table) -> pa.Table:
+        key, sc = score_key(t)
+        keep = key >= thr
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "score": pa.array(sc[keep], pa.float64()),
+            }
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
 #: leakage-safe split: seed prefix and validation share (first md5 hex char
 #: in {0,1} → 2/16 = 12.5 % of clusters land in validation)
 SPLIT_SEED = "split1:"

@@ -567,6 +567,33 @@ WHERE d.doc_id NOT IN (
 """
 
 
+SQL_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label,
+         unnest(embedding) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(d AS BIGINT) AS dim_idx,
+       round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+FROM e GROUP BY 1, 2
+"""
+
+
+def sql_quality_gate(q: float = 0.75) -> str:
+    """Twin of q_quality_gate: rounded banded score ≥ its quantile_disc."""
+    expr = ts.sql_quality_score_expr("text")
+    return f"""
+WITH s AS (
+  SELECT doc_id, round({expr}, 6) AS score FROM documents
+), thr AS (
+  SELECT quantile_disc(score, {q}) AS t FROM s
+)
+SELECT doc_id, score FROM s WHERE score >= (SELECT t FROM thr)
+"""
+
+
 def sql_split_leakage_safe(threshold: float = 0.25, seed: str = "split1:") -> str:
     """Twin of q_split_leakage_safe: rep = component min-id (self for
     singletons); val iff the first hex char of md5(seed || rep) is 0/1."""
