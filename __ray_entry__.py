@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_entropy": D.q_token_entropy,
         "t_tfidf_top_terms": D.q_tfidf_top_terms,
         "d_epoch_shuffle": D.q_epoch_shuffle,
+        "d_token_budget_sample": D.q_token_budget_sample,
         "d_split_leakage_safe": D.q_split_leakage_safe,
         "d_label_centroids": D.q_label_centroids,
         "t_quality_gate": D.q_quality_gate,
@@ -140,6 +141,9 @@ def oracle_sql() -> dict[str, str]:
         "t_token_entropy": O.sql_token_entropy(),
         "t_tfidf_top_terms": O.sql_tfidf_top_terms(D.TFIDF_K),
         "d_epoch_shuffle": O.sql_epoch_shuffle(D.EPOCH_SHUFFLE_SEED),
+        "d_token_budget_sample": O.sql_token_budget_sample(
+            D.BUDGET_SEED, D.TOKEN_BUDGET
+        ),
         "d_split_leakage_safe": O.sql_split_leakage_safe(seed=D.SPLIT_SEED),
         "d_label_centroids": O.SQL_LABEL_CENTROIDS,
         "t_quality_gate": O.sql_quality_gate(D.QUALITY_GATE_Q),

@@ -1435,6 +1435,99 @@ def q_inverted_index(sf_dir: str, k: int = POSTINGS_K):
     )
 
 
+#: token-budget subset: seed prefix and token budget
+BUDGET_SEED = "budget1:"
+TOKEN_BUDGET = 2000
+
+
+def q_token_budget_sample(sf_dir: str, budget: int = TOKEN_BUDGET):
+    """Token-budget subset selection — "give me a B-token sample of the
+    corpus": documents taken in seeded-md5 order until the running token
+    total reaches the budget (kept iff the INCLUSIVE cumulative count stays
+    ≤ B, so the budget is never exceeded). Deterministic, resumable, and
+    extensible (raising B only ever adds documents).
+
+    Same no-sort-shuffle shape as :func:`q_epoch_shuffle`, carrying a token
+    count instead of a rank: (1) one pass computes each doc's digest + token
+    count; the digest's top 6 bits range-partition the md5 order; (2) tiny
+    per-bucket token-total exchange → driver exclusive-cumsum over 2^B
+    bucket totals (buckets whose offset already exceeds the budget could be
+    skipped entirely at scale); (3) one bucket-keyed exchange sorts each
+    digest range locally and emits rows with ``offset + local inclusive
+    cumsum ≤ B``. Only (doc_id, hi, lo, n_tokens) ever moves — never text.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+
+    def keyed(t: pa.Table) -> pa.Table:
+        _, _, n_per_row, ids = _doc_token_hashes(t)
+        ids = ids.astype(np.int64)
+        dg = md5_digests_of_prefixed_ints(BUDGET_SEED.encode(), ids.astype(np.uint64))
+        hi = dg[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        lo = dg[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "hi": pa.array(hi, pa.uint64()),
+                "lo": pa.array(lo, pa.uint64()),
+                "n_tokens": pa.array(n_per_row),
+                "bucket": pa.array((hi >> np.uint64(58)).astype(np.int64)),
+            }
+        )
+
+    keyed_ds = (
+        _docs(sf_dir)
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["bucket", "n_tokens"])
+            .group_by("bucket")
+            .aggregate([("n_tokens", "sum")])
+            .rename_columns(["rb", "tok"])
+        )
+
+    counts = (
+        hash_bucket_aggregate(
+            keyed_ds.map_batches(count_partial, batch_format="pyarrow"),
+            ["rb"],
+            {"tok": ("tok", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("rb", ignore_index=True)
+    )
+    offsets = dict(
+        zip(
+            counts["rb"],
+            np.concatenate([[0], np.cumsum(counts["tok"].to_numpy())[:-1]]),
+        )
+    )
+    off_ref = _ray.put(offsets)
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        g = g.sort_values(["hi", "lo", "doc_id"], kind="mergesort")
+        base = int(offs[int(g["bucket"].iloc[0])])
+        cum = base + np.cumsum(g["n_tokens"].to_numpy())
+        keep = cum <= budget
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "n_tokens": g["n_tokens"].to_numpy()[keep],
+                "cum_tokens": cum[keep],
+            }
+        )
+
+    return keyed_ds.groupby("bucket").map_groups(take, batch_format="pandas")
+
+
 # -- multimodal -------------------------------------------------------------
 
 

@@ -463,6 +463,26 @@ FROM r GROUP BY token
 """
 
 
+def sql_token_budget_sample(seed: str, budget: int) -> str:
+    """Twin of q_token_budget_sample: docs in (md5(seed||id), id) order
+    while the inclusive running token total stays ≤ budget."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+              string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+              x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5('{seed}' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
+"""
+
+
 def sql_epoch_shuffle(seed: str) -> str:
     """Twin of q_epoch_shuffle: pos = 0-based rank of md5(seed || doc_id);
     hex-string order = big-endian digest order, tie-break on doc_id."""
