@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_split_leakage_safe": D.q_split_leakage_safe,
         "d_label_centroids": D.q_label_centroids,
         "t_quality_gate": D.q_quality_gate,
+        "d_mix_manifest": D.q_mix_manifest,
         "t_repetition_scores": D.q_repetition_scores,
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_inverted_index": D.q_inverted_index,
@@ -147,6 +148,9 @@ def oracle_sql() -> dict[str, str]:
         "d_split_leakage_safe": O.sql_split_leakage_safe(seed=D.SPLIT_SEED),
         "d_label_centroids": O.SQL_LABEL_CENTROIDS,
         "t_quality_gate": O.sql_quality_gate(D.QUALITY_GATE_Q),
+        "d_mix_manifest": O.sql_mix_manifest(
+            D.QUALITY_GATE_Q, seed=D.SPLIT_SEED
+        ),
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),

@@ -1435,6 +1435,143 @@ def q_inverted_index(sf_dir: str, k: int = POSTINGS_K):
     )
 
 
+def q_mix_manifest(sf_dir: str, q: float = QUALITY_GATE_Q, threshold: float = 0.25):
+    """Training-mix manifest — the end-of-pipeline composition: documents
+    passing the quality-percentile gate, assigned their leakage-safe split,
+    rolled up to (source, split) → n_docs, n_tokens. This is the table a
+    training run reads to weight its data mixture.
+
+    One coherent streaming pipeline reusing the engine's pieces: (1) the
+    rounded-score histogram exchange yields the exact P75 threshold;
+    (2) near-dup components come from the distributed min-label propagation;
+    (3) ONE corpus pass filters by score, counts tokens, and hash-buckets by
+    doc_id; the component table joins in bucket-locally (never broadcast),
+    the split is seeded-md5 arithmetic, and a per-group combiner emits
+    (source, split) partials merged by a final tiny exchange. Text never
+    shuffles; the wide exchange carries only (doc_id, source, n_tokens).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import textstats as _ts
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+    from ..functions.rounding import round_half_away
+    from ..stages.graph import connected_components
+
+    docs_full = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    # (1) exact P75 of the rounded banded score (integer-key histogram)
+    def hist_partial(t: pa.Table) -> pa.Table:
+        key = np.rint(
+            round_half_away(_ts.quality_scores(t["text"]), 6) * 1e6
+        ).astype(np.int64)
+        return (
+            pa.table({"v": pa.array(key)})
+            .group_by("v")
+            .aggregate([([], "count_all")])
+            .rename_columns(["v", "n"])
+        )
+
+    hist = (
+        hash_bucket_aggregate(
+            docs_full.map_batches(
+                hist_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["v"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    cum = np.cumsum(hist["n"].to_numpy())
+    total = int(cum[-1])
+    idx = min(max(int(np.ceil(np.float64(q) * total)), 1), total)
+    thr = int(hist["v"].to_numpy()[np.searchsorted(cum, idx)])
+
+    # (2) near-dup cluster representatives (edge-proportional table)
+    comp = connected_components(ngram_jaccard_pairs(docs_full, threshold=threshold))
+    nb = 64
+
+    # (3) one gated pass: (doc_id, source, n_tokens, bucket) for keepers
+    def gated(t: pa.Table) -> pa.Table:
+        key = np.rint(
+            round_half_away(_ts.quality_scores(t["text"]), 6) * 1e6
+        ).astype(np.int64)
+        _, _, n_per_row, ids = _doc_token_hashes(t)
+        keep = key >= thr
+        ids = ids.astype(np.int64)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": t["source"].filter(pa.array(keep)),
+                "n_tokens": pa.array(n_per_row[keep]),
+                "component_id": pa.nulls(len(ids), pa.int64()),
+                "__side": pa.array(np.ones(len(ids), np.int8)),
+                "bucket": pa.array(ids % nb),
+            }
+        )
+
+    comp_ids = comp["doc_id"].to_numpy().astype(np.int64)
+    comp_tagged = pa.table(
+        {
+            "doc_id": comp["doc_id"].cast(pa.int64()),
+            "source": pa.nulls(len(comp_ids), pa.string()),
+            "n_tokens": pa.nulls(len(comp_ids), pa.int64()),
+            "component_id": comp["component_id"].cast(pa.int64()),
+            "__side": pa.array(np.zeros(len(comp_ids), np.int8)),
+            "bucket": pa.array(comp_ids % nb),
+        }
+    )
+
+    def join_split(g: pd.DataFrame) -> pd.DataFrame:
+        side0 = g[g["__side"] == 0]
+        side1 = g[g["__side"] == 1]
+        if len(side1) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "split": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                }
+            )
+        rep_map = dict(zip(side0["doc_id"], side0["component_id"]))
+        rep = (
+            side1["doc_id"].map(rep_map).fillna(side1["doc_id"]).to_numpy()
+            .astype(np.int64)
+        )
+        dg = md5_digests_of_prefixed_ints(SPLIT_SEED.encode(), rep.astype(np.uint64))
+        out = pd.DataFrame(
+            {
+                "source": side1["source"].to_numpy(),
+                "split": np.where(dg[:, 0] < 32, "val", "train"),
+                # int64 column picks up float64 through the nullable union
+                "n_tokens": side1["n_tokens"].to_numpy().astype(np.int64),
+            }
+        )
+        part = (
+            out.groupby(["source", "split"], sort=False, dropna=False)
+            .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+        return part
+
+    partials = (
+        docs_full.map_batches(gated, batch_format="pyarrow", zero_copy_batch=True)
+        .union(ray.data.from_arrow(comp_tagged))
+        .groupby("bucket")
+        .map_groups(join_split, batch_format="pandas")
+    )
+    return hash_bucket_aggregate(
+        partials,
+        ["source", "split"],
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum")},
+        num_buckets=4,
+    )
+
+
 #: token-budget subset: seed prefix and token budget
 BUDGET_SEED = "budget1:"
 TOKEN_BUDGET = 2000

@@ -614,6 +614,37 @@ SELECT doc_id, score FROM s WHERE score >= (SELECT t FROM thr)
 """
 
 
+def sql_mix_manifest(
+    q: float = 0.75, threshold: float = 0.25, seed: str = "split1:"
+) -> str:
+    """Twin of q_mix_manifest: quality gate ∘ leakage-safe split ∘
+    (source, split) rollup, composed from the same CTEs as the parts."""
+    expr = ts.sql_quality_score_expr("text")
+    comp = sql_dup_components(threshold)
+    return rf"""
+WITH s AS (
+  SELECT doc_id, source, round({expr}, 6) AS score,
+         CAST(len(list_filter(
+              string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+), thr AS (
+  SELECT quantile_disc(score, {q}) AS t FROM s
+), comp AS ({comp}),
+k AS (
+  SELECT s.source, s.nt, coalesce(c.component_id, s.doc_id) AS rep
+  FROM s LEFT JOIN comp c ON s.doc_id = c.doc_id
+  WHERE s.score >= (SELECT t FROM thr)
+)
+SELECT source,
+       CASE WHEN substring(md5('{seed}' || CAST(rep AS VARCHAR)), 1, 1)
+                 IN ('0', '1') THEN 'val' ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM k GROUP BY 1, 2
+"""
+
+
 def sql_split_leakage_safe(threshold: float = 0.25, seed: str = "split1:") -> str:
     """Twin of q_split_leakage_safe: rep = component min-id (self for
     singletons); val iff the first hex char of md5(seed || rep) is 0/1."""
