@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_label_centroids": D.q_label_centroids,
         "t_quality_gate": D.q_quality_gate,
         "d_mix_manifest": D.q_mix_manifest,
+        "t_heavy_hitters": D.q_heavy_hitters,
+        "t_heavy_hitters_recall": D.q_heavy_hitters_recall,
         "t_repetition_scores": D.q_repetition_scores,
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_inverted_index": D.q_inverted_index,

@@ -1435,6 +1435,140 @@ def q_inverted_index(sf_dir: str, k: int = POSTINGS_K):
     )
 
 
+#: Misra-Gries heavy-hitters sketch: counters per summary, reported top-k
+MG_CAPACITY = 16
+MG_TOPK = 10
+
+
+def _mg_partials(sf_dir: str, capacity: int):
+    """Per-batch Misra-Gries summaries as (token, c, d) rows — ≤ capacity
+    counter rows plus one sentinel row ('', 0, decrement) per batch."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        cnt = (
+            pa.table({"token": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by("token")
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", "c"])
+        )
+        c = cnt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = 0
+        if len(c) > capacity:
+            cstar = int(np.partition(c, -capacity - 1)[-capacity - 1])
+            keep = c - cstar > 0
+            cnt = cnt.filter(pa.array(keep))
+            c = c[keep] - cstar
+            d = cstar
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [cnt["token"].combine_chunks(), pa.array([""], pa.string())]
+                ),
+                "c": pa.array(np.concatenate([c, [0]])),
+                "d": pa.array(
+                    np.concatenate([np.zeros(len(c), np.int64), [d]])
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_heavy_hitters(sf_dir: str, capacity: int = MG_CAPACITY, k: int = MG_TOPK):
+    """Misra-Gries heavy hitters (Misra & Gries 1982; merge rule per
+    Agarwal et al. 2012 "Mergeable Summaries" — public constructions):
+    sketch-estimated top-k corpus tokens under a hard memory budget of
+    ``capacity`` counters per summary — the frequency-sketch sibling of the
+    run-path HLL and t-digest. (token, est_count, err_bound): est_count is
+    the surviving counter (a lower bound); the true count lies in
+    [est_count, est_count + err_bound].
+
+    Scale shape: per-batch vectorized summary (Arrow group-count + one
+    threshold decrement), so each batch ships ≤ capacity+1 rows; the driver
+    merge folds O(blocks · capacity) rows with ONE one-shot mergeable-
+    summaries reduction (sum counts, subtract the (capacity+1)-th largest) —
+    the stats.py bounded-partials pattern, tree-merged at cluster scale.
+    Rows-only (sketch); ``t_heavy_hitters_recall`` is its accuracy meter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # bounded driver collect: O(blocks · (capacity+1)) summary rows
+    rows = _mg_partials(sf_dir, capacity).to_pandas()
+    D = int(rows["d"].sum())
+    cnt = (
+        rows[rows["token"] != ""]
+        .groupby("token", sort=False)["c"]
+        .sum()
+        .reset_index()
+    )
+    c = cnt["c"].to_numpy()
+    if len(c) > capacity:
+        cstar = int(np.partition(c, -capacity - 1)[-capacity - 1])
+        cnt = cnt[c - cstar > 0].copy()
+        cnt["c"] = cnt["c"] - cstar
+        D += cstar
+    top = cnt.sort_values(
+        ["c", "token"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "token": pa.array(top["token"], pa.string()),
+            "est_count": pa.array(top["c"].to_numpy(), pa.int64()),
+            "err_bound": pa.array(np.full(len(top), D, np.int64)),
+        }
+    )
+
+
+def q_heavy_hitters_recall(sf_dir: str, capacity: int = MG_CAPACITY, k: int = MG_TOPK):
+    """Recall of the Misra-Gries top-k vs the exact corpus top-k (same
+    (count DESC, token ASC) order) — with capacity < vocabulary the sketch
+    genuinely approximates, so this meter can fail."""
+    sketch = set(q_heavy_hitters(sf_dir, capacity, k)["token"].to_pylist())
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        return (
+            pa.table({"token": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by("token")
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", "n"])
+        )
+
+    exact_tbl = (
+        hash_bucket_aggregate(
+            _docs(sf_dir).map_batches(
+                cnt_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["token"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+    )
+    return _recall_row(set(exact_tbl["token"]), sketch)
+
+
 def q_mix_manifest(sf_dir: str, q: float = QUALITY_GATE_Q, threshold: float = 0.25):
     """Training-mix manifest — the end-of-pipeline composition: documents
     passing the quality-percentile gate, assigned their leakage-safe split,

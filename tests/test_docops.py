@@ -105,3 +105,39 @@ def test_dedup_keep_drops_non_canonical(sf_dir):
     dropped = set(comp[comp.doc_id != comp.component_id].doc_id)
     assert dropped and dropped.isdisjoint(kept)  # non-canonical gone
     assert set(comp.component_id) <= kept  # every cluster keeps its canon
+
+
+def test_heavy_hitters_mg_guarantee(sf_dir):
+    """Misra-Gries bound: est <= true <= est + err_bound for every reported
+    token, and every token with true count > err_bound appears in the
+    sketch's surviving counters (here: the top-k covers the true top-1)."""
+    import duckdb
+
+    from doc_quality_check_ray.pipelines.documents import (
+        MG_TOPK,
+        q_heavy_hitters,
+        q_heavy_hitters_recall,
+    )
+
+    hh = q_heavy_hitters(sf_dir).to_pandas()
+    assert 0 < len(hh) <= MG_TOPK
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    true = dict(
+        con.sql(
+            "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)),"
+            " '\\s+')) AS t FROM documents)"
+            " SELECT t, count(*) FROM tok WHERE t <> '' GROUP BY 1"
+        ).fetchall()
+    )
+    err = int(hh["err_bound"].iloc[0])
+    for _, r in hh.iterrows():
+        tc = true[r["token"]]
+        assert r["est_count"] <= tc <= r["est_count"] + err
+    top1 = max(true, key=lambda t: (true[t], t))
+    assert top1 in set(hh["token"])
+    rec = q_heavy_hitters_recall(sf_dir).to_pandas()
+    assert rec["n_exact"].iloc[0] == MG_TOPK
+    assert 0.0 <= rec["recall"].iloc[0] <= 1.0
