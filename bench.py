@@ -55,6 +55,11 @@ QUERY_NAMES = [
     "t_repetition_scores",
     "t_unigram_logprob",
     "t_inverted_index",
+    "t_quality_gate",
+    "d_label_centroids",
+    "d_token_budget_sample",
+    "t_heavy_hitters",
+    "d_mix_manifest",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

@@ -58,12 +58,35 @@ def _tag(bucket, kind: int, key, val) -> pa.Table:
     )
 
 
+def _components_driver(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Vectorized min-label propagation on the driver — same kernel as the
+    distributed path's in-bucket local fixpoint, over the whole edge list.
+    O(E · diameter) numpy work; used only below the adaptive edge gate."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src, dst = inv[: len(a)], inv[len(a):]
+    local = nodes.copy()
+    for _ in range(len(nodes)):
+        before = local.copy()
+        m = np.minimum(local[src], local[dst])
+        np.minimum.at(local, src, m)
+        np.minimum.at(local, dst, m)
+        if np.array_equal(before, local):
+            break
+    return pa.table(
+        {"doc_id": pa.array(nodes, pa.int64()),
+         "component_id": pa.array(local, pa.int64())},
+        schema=COMPONENT_SCHEMA,
+    )
+
+
 def connected_components(
     pairs: ray.data.Dataset | pa.Table,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_rounds: int = 50,
     num_buckets: int = 32,
+    mode: str = "auto",
+    max_driver_edges: int = 1 << 16,
 ) -> pa.Table:
     """(doc_id, component_id = min id in its component) for every id that
     appears in ``pairs`` (an undirected edge list).
@@ -71,9 +94,39 @@ def connected_components(
     Singleton docs (no edges) are their own components and are NOT emitted —
     join the output back to the corpus with fill-null(doc_id) to materialize
     the deduplicated set.
+
+    Adaptive (the minhash ``verify="auto"`` pattern): when the edge count is
+    at most ``max_driver_edges`` the whole propagation runs as one bounded
+    vectorized pass on the driver — each distributed round costs several Ray
+    jobs of fixed overhead, which dwarfs the work on small dup graphs. The
+    iterated-exchange path is kept for larger graphs (``mode="distributed"``
+    forces it; the two paths are equivalence-tested).
     """
     if isinstance(pairs, pa.Table):
+        if mode != "distributed" and len(pairs) <= max_driver_edges:
+            return _components_driver(
+                pairs[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pairs[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
         pairs = ray.data.from_arrow(pairs.select([a_col, b_col]))
+    elif mode != "distributed":
+        # conservative pre-collect gate on the materialized pair count
+        n_edges = pairs.count()
+        if n_edges <= max_driver_edges:
+            tbl = pa.concat_tables(
+                [
+                    b.select([a_col, b_col])
+                    for b in pairs.iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                    if b.num_rows
+                ]
+            ) if n_edges else pa.table({a_col: pa.array([], pa.int64()),
+                                        b_col: pa.array([], pa.int64())})
+            return _components_driver(
+                tbl[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
 
     # double the edges so one directed join produces messages both ways
     def doubled(t: pa.Table) -> pa.Table:

@@ -40,9 +40,31 @@ def test_long_chain_converges():
     # a path is the worst case for min propagation (rounds track the
     # bucket-crossings along the diameter; the in-bucket local fixpoint
     # collapses same-bucket segments per round — with 2 buckets the doubled
-    # edges of this chain collapse in a couple of rounds)
+    # edges of this chain collapse in a couple of rounds); forced onto the
+    # distributed path so the exchange loop stays covered past the gate
     n = 9
     edges = [(i, i + 1) for i in range(n)]
-    out = connected_components(_pairs(edges), num_buckets=2).to_pylist()
+    out = connected_components(
+        _pairs(edges), num_buckets=2, mode="distributed"
+    ).to_pylist()
     assert all(r["component_id"] == 0 for r in out)
     assert len(out) == n + 1
+
+
+def test_driver_and_distributed_paths_agree():
+    # random-ish multi-component graph: chains, cliques, self-merging cycles
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(120, 2)) if a != b]
+    drv = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(_pairs(edges)).to_pylist()
+    }
+    dist = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            _pairs(edges), mode="distributed", num_buckets=4
+        ).to_pylist()
+    }
+    assert drv == dist and len(drv) > 0
