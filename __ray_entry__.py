@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_knn": D.q_knn,
         "d_cosine_near_dup": D.q_cosine_near_dup,
         "d_lsh_near_dup": D.q_lsh_near_dup,
+        "d_semantic_dedup": D.q_semantic_dedup,
         "d_ivf_knn": D.q_ivf_knn,
         # driver-visible recall of every approximate operator vs its exact twin
         "d_minhash_recall": D.q_minhash_recall,
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_mix_manifest": D.q_mix_manifest,
         "t_heavy_hitters": D.q_heavy_hitters,
         "t_heavy_hitters_recall": D.q_heavy_hitters_recall,
+        "t_pii_redact": D.q_pii_redact,
         "t_repetition_scores": D.q_repetition_scores,
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_inverted_index": D.q_inverted_index,
@@ -124,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "d_exact_dedup": O.SQL_EXACT_DEDUP,
         "d_knn": O.sql_knn(D.KNN_QUERY_IDS, D.KNN_K),
         "d_cosine_near_dup": O.sql_cosine_near_dup(D.COSINE_THRESHOLD),
+        "d_semantic_dedup": O.sql_semantic_dedup(D.COSINE_THRESHOLD),
         "d_ngram_jaccard": O.sql_ngram_jaccard(),
         "v_text_len_quantiles": O.sql_text_len_quantiles(),
         "v_ts_quantiles": O.sql_ts_quantiles(),
@@ -153,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "d_mix_manifest": O.sql_mix_manifest(
             D.QUALITY_GATE_Q, seed=D.SPLIT_SEED
         ),
+        "t_pii_redact": O.sql_pii_redact(),
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),

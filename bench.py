@@ -55,6 +55,8 @@ QUERY_NAMES = [
     "t_repetition_scores",
     "t_unigram_logprob",
     "t_inverted_index",
+    "t_pii_redact",
+    "d_semantic_dedup",
     "t_quality_gate",
     "d_label_centroids",
     "d_token_budget_sample",

@@ -59,17 +59,19 @@ def _embs(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
-def _embs_planted(sf_dir: str) -> ray.data.Dataset:
+def _embs_planted(sf_dir: str, with_label: bool = False) -> ray.data.Dataset:
     """Embeddings corpus with K planted near-dup twins (see PLANT_NEAR_DUP_*).
 
     One map pass emits every original row (cast to float64, the compute
     dtype) plus, for vec_id < K, a twin at id+OFFSET whose vector is
     ``v + ALPHA · roll(v, -1)`` — elementwise float64 ops that DuckDB's
-    ``list_transform`` reproduces bit-for-bit.
+    ``list_transform`` reproduces bit-for-bit. ``with_label=True`` carries
+    the cluster label (twins inherit their source's label).
     """
     import numpy as np
 
-    ds = _embs(sf_dir)
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
 
     def plant(t: pa.Table) -> pa.Table:
         emb = t["embedding"]
@@ -85,14 +87,20 @@ def _embs_planted(sf_dir: str) -> ray.data.Dataset:
         offsets = pa.array(
             np.arange(0, (len(out_ids) + 1) * dim, dim, dtype=np.int64)
         )
-        return pa.table(
-            {
-                "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.LargeListArray.from_arrays(
-                    offsets, pa.array(flat, pa.float64())
-                ),
-            }
-        )
+        out = {
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "embedding": pa.LargeListArray.from_arrays(
+                offsets, pa.array(flat, pa.float64())
+            ),
+        }
+        if with_label:
+            lab = t["label"]
+            if isinstance(lab, pa.ChunkedArray):
+                lab = lab.combine_chunks()
+            out["label"] = pa.concat_arrays(
+                [lab, lab.filter(pa.array(mask))]
+            )
+        return pa.table(out)
 
     return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -149,6 +157,20 @@ def q_cosine_near_dup(sf_dir: str):
     SQL-verified ground truth the LSH variant's recall is measured against
     (nonzero by construction: the K planted pairs)."""
     return cosine_near_dup_pairs(_embs_planted(sf_dir), threshold=COSINE_THRESHOLD)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): within each
+    cluster label, drop every row cosine-≥-τ to a lower-id row — the
+    embedding-space curation pass that removes paraphrase-level duplicates
+    a text hash can't see. Runs over the planted corpus so the dropped set
+    is nonempty and oracle-checkable (each planted twin shares its source's
+    label and lands at cosine ≈0.957). Returns (vec_id, label) dropped."""
+    from ..stages.similarity import semantic_dedup_drop
+
+    return semantic_dedup_drop(
+        _embs_planted(sf_dir, with_label=True), threshold=COSINE_THRESHOLD
+    )
 
 
 def q_lsh_near_dup(sf_dir: str):
@@ -1797,6 +1819,81 @@ def q_token_budget_sample(sf_dir: str, budget: int = TOKEN_BUDGET):
         )
 
     return keyed_ds.groupby("bucket").map_groups(take, batch_format="pandas")
+
+
+# -- PII redaction -----------------------------------------------------------
+
+#: RE2 classes shared VERBATIM by the Arrow kernels and the DuckDB oracle
+#: (both engines are RE2-backed, so the pattern strings are the contract)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub — the pre-release redaction pass every training corpus
+    needs: per document, count and mask emails, US-style phone numbers and
+    IPv4 addresses, emitting (doc_id, n_email, n_phone, n_ip, redacted).
+
+    The synthetic corpus carries no PII, so deterministic spans are planted
+    in-query on BOTH twins (the ``_embs_planted`` pattern): doc_id ≡ 0
+    (mod 7/11/13) gains an email / phone / IP derived from doc_id by integer
+    arithmetic and string concatenation DuckDB reproduces byte-for-byte.
+
+    Scale shape: embarrassingly parallel single pass — three
+    ``count_substring_regex`` + three ``replace_substring_regex`` RE2 kernels
+    per batch, no exchange, no Python rows. Patterns compile once per kernel
+    call inside Arrow; zero-copy batches in and out.
+    """
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        i = ids.to_numpy(zero_copy_only=False)
+        idstr = pc.cast(ids, pa.string())
+
+        def suffix(mask: np.ndarray, *parts) -> pa.Array:
+            return pc.if_else(
+                pa.array(mask), pc.binary_join_element_wise(*parts, ""), ""
+            )
+
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            suffix(i % 7 == 0, " mail user", idstr, "@example.com now"),
+            suffix(
+                i % 11 == 0,
+                " call 415-555-",
+                pc.cast(pa.array(1000 + i % 9000), pa.string()),
+                " ok",
+            ),
+            suffix(
+                i % 13 == 0,
+                " host 10.",
+                pc.cast(pa.array(i % 256), pa.string()),
+                ".0.",
+                pc.cast(pa.array(i % 100), pa.string()),
+                " up",
+            ),
+            "",
+        )
+        red = planted
+        counts = {}
+        for name, pat, repl in (
+            ("n_email", PII_EMAIL_RE, "<EMAIL>"),
+            ("n_phone", PII_PHONE_RE, "<PHONE>"),
+            ("n_ip", PII_IP_RE, "<IP>"),
+        ):
+            # counts over the ORIGINAL text (mirrors the SQL twin); the
+            # redaction chain applies the same three classes in order
+            counts[name] = pc.cast(
+                pc.count_substring_regex(planted, pat), pa.int64()
+            )
+            red = pc.replace_substring_regex(red, pat, repl)
+        return pa.table(
+            {"doc_id": ids, **counts, "redacted": red}
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # -- multimodal -------------------------------------------------------------

@@ -291,18 +291,22 @@ SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine FROM r WHERE rn <= {k}
 """
 
 
-def sql_embeddings_planted_cte(k: int, alpha: float, offset: int) -> str:
+def sql_embeddings_planted_cte(
+    k: int, alpha: float, offset: int, with_label: bool = False
+) -> str:
     """CTE ``emb(vec_id, v DOUBLE[])`` = corpus + the K planted near-dup
     twins — float64 elementwise twin of ``documents._embs_planted``:
     cast-to-double FIRST, then ``v[j] + alpha·v[(j mod d)+1]`` (the 1-based
-    rotate matching numpy ``roll(v, -1)``)."""
+    rotate matching numpy ``roll(v, -1)``). ``with_label`` carries the
+    cluster label (twins inherit their source's label)."""
+    lab = "label, " if with_label else ""
     return f"""
 WITH _e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, {lab}CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), emb AS (
-  SELECT vec_id, v FROM _e
+  SELECT vec_id, {lab}v FROM _e
   UNION ALL
-  SELECT vec_id + {offset},
+  SELECT vec_id + {offset}, {lab}
          list_transform(generate_series(1, len(v)),
                         j -> v[j] + CAST({alpha} AS DOUBLE) * v[(j % len(v)) + 1])
   FROM _e WHERE vec_id < {k}
@@ -329,6 +333,32 @@ def sql_cosine_near_dup(
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_cosine_similarity(a.v, b.v), 5) AS cosine
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+"""
+    )
+
+
+def sql_semantic_dedup(threshold: float = 0.8) -> str:
+    """Exact twin of ``documents.q_semantic_dedup``: within each label,
+    every row with a lower-id cosine-≥-τ neighbor is dropped (DISTINCT
+    keeps one row per dropped id)."""
+    from .documents import (
+        PLANT_NEAR_DUP_ALPHA,
+        PLANT_NEAR_DUP_K,
+        PLANT_NEAR_DUP_OFFSET,
+    )
+
+    return (
+        sql_embeddings_planted_cte(
+            PLANT_NEAR_DUP_K,
+            PLANT_NEAR_DUP_ALPHA,
+            PLANT_NEAR_DUP_OFFSET,
+            with_label=True,
+        )
+        + f"""
+SELECT DISTINCT b.vec_id AS vec_id, b.label AS label
+FROM emb a JOIN emb b
+  ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 """
     )
@@ -920,6 +950,36 @@ SELECT t.conv_id, t.turn_idx,
 FROM transcripts t LEFT JOIN _share s ON t.role = s.role
 """
     )
+
+
+def sql_pii_redact() -> str:
+    """Exact twin of ``documents.q_pii_redact``: identical RE2 pattern
+    strings (DuckDB and Arrow are both RE2-backed), identical deterministic
+    plants derived from doc_id, counts over the planted text, redaction
+    applied email → phone → IP."""
+    from .documents import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' mail user' || doc_id || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call 415-555-' || (1000 + doc_id % 9000) || ' ok' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' up'
+            ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(length(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+  CAST(length(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+  CAST(length(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(
+      t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g'),
+         '{PII_IP_RE}', '<IP>', 'g') AS redacted
+FROM planted
+"""
 
 
 def sql_all_violations(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:

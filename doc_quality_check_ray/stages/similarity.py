@@ -161,6 +161,69 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup_drop(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SemDeDup-style within-cluster pruning (Abbas et al. 2023, public
+    construction): rows whose embedding is cosine-≥-threshold to a
+    LOWER-id row of the SAME cluster label are dropped — one keeper (the
+    min id) survives per semantic-duplicate group. Returns the dropped
+    rows as ``(vec_id, label)``.
+
+    Scale shape: comparisons are restricted to within-cluster — the whole
+    point vs the quadratic full-corpus pass. One label-keyed hash-bucket
+    exchange moves each (id, label, vector) row exactly once; each reduce
+    task scores its clusters with a local normalized matmul. Partitioning
+    assumption (documented contract): one cluster's vectors fit a reduce
+    task — SemDeDup sizes k ∝ N/target_cluster_size precisely so clusters
+    stay bounded; oversized clusters must be re-split upstream (k-means on
+    the cluster) before this stage.
+    """
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, label_col, vec_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(np.abs(lab) % num_buckets, pa.int64())
+        )
+
+    def local(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab_arr = g[label_col]
+        if isinstance(lab_arr, pa.ChunkedArray):
+            lab_arr = lab_arr.combine_chunks()
+        lab = lab_arr.to_numpy(zero_copy_only=False)
+        M = _unit(_matrix(g, vec_col))
+        drop_idx = []
+        for lv in np.unique(lab):
+            sel = np.flatnonzero(lab == lv)
+            if len(sel) < 2:
+                continue
+            sub_ids = ids[sel]
+            S = M[sel] @ M[sel].T
+            hit = (S >= threshold) & (sub_ids[:, None] < sub_ids[None, :])
+            dropped = np.unique(np.nonzero(hit)[1])
+            drop_idx.append(sel[dropped])
+        if not drop_idx:
+            idx = np.array([], dtype=np.int64)
+        else:
+            idx = np.concatenate(drop_idx)
+        keep = pa.array(idx)
+        return pa.table(
+            {"vec_id": pa.array(ids[idx], pa.int64()), "label": lab_arr.take(keep)}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(local, batch_format="pyarrow")
+    )
+
+
 def lsh_bucket_near_dup(
     ds: ray.data.Dataset,
     threshold: float = 0.8,

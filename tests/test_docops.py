@@ -141,3 +141,21 @@ def test_heavy_hitters_mg_guarantee(sf_dir):
     rec = q_heavy_hitters_recall(sf_dir).to_pandas()
     assert rec["n_exact"].iloc[0] == MG_TOPK
     assert 0.0 <= rec["recall"].iloc[0] <= 1.0
+
+
+def test_pii_redact_plants_and_masks(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import q_pii_redact
+
+    out = q_pii_redact(sf_dir).to_pandas().set_index("doc_id")
+    # every multiple of 7 planted exactly one email; it is masked
+    assert (out.loc[out.index % 7 == 0, "n_email"] == 1).all()
+    assert (out.loc[out.index % 7 != 0, "n_email"] == 0).all()
+    assert out.loc[7, "redacted"].endswith(" mail <EMAIL> now")
+    assert "@" not in " ".join(out.redacted)
+    # phones and IPs likewise masked
+    assert (out.loc[out.index % 11 == 0, "n_phone"] == 1).all()
+    assert (out.loc[out.index % 13 == 0, "n_ip"] == 1).all()
+    assert not out.redacted.str.contains(r"\d{3}-\d{3}-\d{4}", regex=True).any()
+    assert not out.redacted.str.contains(r"\d+\.\d+\.\d+\.\d+", regex=True).any()
+    # doc 0 hits all three classes
+    assert out.loc[0, ["n_email", "n_phone", "n_ip"]].tolist() == [1, 1, 1]

@@ -113,3 +113,31 @@ def test_planted_corpus_near_dup_pairs(sf_dir):
     rec = q_lsh_recall(sf_dir).to_pylist()[0]
     assert rec["n_exact"] == PLANT_NEAR_DUP_K
     assert 0.0 <= rec["recall"] <= 1.0
+
+
+def test_semantic_dedup_drops_within_label_only():
+    from doc_quality_check_ray.stages.similarity import semantic_dedup_drop
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((120, 16)).astype(np.float32)
+    labels = np.arange(120) % 4
+    # planted same-label near-dup: 100 dups 4 (labels 0, 0) -> 100 dropped
+    m[100] = m[4] + rng.standard_normal(16).astype(np.float32) * 0.01
+    labels[100] = labels[4] = 0
+    # planted CROSS-label near-dup: must NOT be dropped
+    m[101] = m[5]
+    labels[5], labels[101] = 1, 2
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120), pa.int64()),
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = semantic_dedup_drop(ds, threshold=0.95).to_pandas()
+    dropped = set(out.vec_id)
+    assert 100 in dropped
+    assert 101 not in dropped and 5 not in dropped
+    # keeper (the min id of its group) never drops
+    assert 4 not in dropped
