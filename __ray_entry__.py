@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operators over the TPC-H-ish tables
         "r_pricing_summary": R.q_pricing_summary,
         "r_events_by_nation": R.q_events_by_nation,
+        "r_priority_returns": R.q_priority_returns,
+        "r_customer_order_counts": R.q_customer_order_counts,
     }
 
 
@@ -164,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "e_sliding_event_counts": E.SQL_SLIDING_EVENT_COUNTS,
         "r_pricing_summary": R.SQL_PRICING_SUMMARY,
         "r_events_by_nation": R.SQL_EVENTS_BY_NATION,
+        "r_priority_returns": R.SQL_PRIORITY_RETURNS,
+        "r_customer_order_counts": R.SQL_CUSTOMER_ORDER_COUNTS,
         "mm_decode": O.sql_mm_decode(),
         "mm_frame_sample": O.sql_mm_frame_sample(),
         "d_chunk_documents": O.sql_chunk_documents(),

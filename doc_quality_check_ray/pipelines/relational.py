@@ -144,3 +144,180 @@ JOIN customer c ON e.user_id = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
 """
+
+
+def q_priority_returns(sf_dir: str):
+    """(o_orderpriority, n_orders) for orders with at least one returned
+    lineitem — the classic EXISTS semi-join (TPC-H Q4 shape).
+
+    Scale design: neither side is broadcast (both fact tables grow with the
+    data). Lineitem is filtered + per-batch deduped down to qualifying
+    orderkeys, tagged, unioned with orders, and hash-bucketed by orderkey so
+    each bucket performs a local vectorized semi-join; each bucket emits a
+    ≤5-row priority histogram, and the driver merges B tiny partials.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    num_buckets = 32
+
+    def _bucketed(keys: pa.Array, n: int) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        return pa.array((h % np.uint64(n)).astype(np.int64))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "priority": t["o_orderpriority"],
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "__bucket": _bucketed(key, num_buckets),
+            }
+        )
+
+    def tag_returned(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        key = pc.unique(pc.cast(t["l_orderkey"], pa.int64()))
+        return pa.table(
+            {
+                "key": key,
+                "priority": pa.nulls(len(key), pa.string()),
+                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key, num_buckets),
+            }
+        )
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        qual = set(g.loc[g["__side"] == 0, "key"])
+        hits = g[(g["__side"] == 1) & g["key"].isin(qual)]
+        out = hits.groupby("priority", sort=False, dropna=False).size()
+        return out.rename("n_orders").reset_index()
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    returned = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(tag_returned, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (
+        orders.union(returned)
+        .groupby("__bucket")
+        .map_groups(semi, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("priority", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("priority", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["priority"], pa.string()),
+            "n_orders": pa.array(out["n_orders"].astype("int64")),
+        }
+    )
+
+
+SQL_PRIORITY_RETURNS = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY 1
+"""
+
+
+def q_customer_order_counts(sf_dir: str):
+    """(c_count, n_custs): how many customers placed exactly c_count orders,
+    zero included — the LEFT JOIN count distribution (TPC-H Q13 shape).
+
+    Scale design: orders are pre-aggregated per batch to (custkey, partial
+    count) so only combiner output shuffles; customers and partials are
+    hash-bucketed by custkey, each bucket finishes the per-customer counts
+    with missing customers defaulting to 0, then emits a local histogram;
+    the driver merges B tiny histograms.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    num_buckets = 32
+
+    def _bucketed(keys: pa.Array, n: int) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        return pa.array((h % np.uint64(n)).astype(np.int64))
+
+    def tag_customers(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "n": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "__bucket": _bucketed(key, num_buckets),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"key": pc.cast(t["o_custkey"], pa.int64())})
+            .group_by("key")
+            .aggregate([([], "count_all")])
+        ).rename_columns(["key", "n"])
+        return pa.table(
+            {
+                "key": g["key"],
+                "n": pc.cast(g["n"], pa.int64()),
+                "__side": pa.array(np.zeros(g.num_rows, dtype=np.int8)),
+                "__bucket": _bucketed(g["key"], num_buckets),
+            }
+        )
+
+    def histo(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.loc[g["__side"] == 0].groupby("key")["n"].sum()
+        custs = g.loc[g["__side"] == 1, "key"]
+        counts = per_cust.reindex(custs, fill_value=0)
+        out = counts.groupby(counts).size()
+        out.index.name = "c_count"
+        return out.rename("n_custs").reset_index()
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(tag_customers, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (
+        customers.union(orders)
+        .groupby("__bucket")
+        .map_groups(histo, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("c_count", as_index=False)["n_custs"]
+        .sum()
+        .sort_values("c_count", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "c_count": pa.array(out["c_count"].astype("int64")),
+            "n_custs": pa.array(out["n_custs"].astype("int64")),
+        }
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_count, count(*) AS n_custs
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
