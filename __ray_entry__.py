@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_conversation_verdicts": V.q_conversation_verdicts,
         "v_worst_turns": V.q_worst_turns,
         "v_threshold_sweep": V.q_threshold_sweep,
+        "v_rolling_text_len": V.q_rolling_text_len,
+        "v_len_outliers": V.q_len_outliers,
         # event-stream operators
         "e_parse_props": E.q_parse_props,
         "e_user_sessions": E.q_user_sessions,
@@ -177,6 +179,8 @@ def oracle_sql() -> dict[str, str]:
         "v_conversation_verdicts": O.sql_conversation_verdicts(),
         "v_worst_turns": O.sql_worst_turns(),
         "v_threshold_sweep": O.sql_threshold_sweep(),
+        "v_rolling_text_len": O.sql_rolling_text_len(),
+        "v_len_outliers": O.sql_len_outliers(),
         "e_parse_props": E.SQL_PARSE_PROPS,
         "e_user_sessions": E.SQL_USER_SESSIONS,
         "e_asof_last_signup": E.SQL_ASOF_LAST_SIGNUP,

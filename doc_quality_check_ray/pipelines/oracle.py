@@ -811,6 +811,48 @@ def sql_ts_quantiles(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     return TRANSCRIPTS_CTE + "\nUNION ALL\n".join(parts)
 
 
+def sql_rolling_text_len(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of validate.q_rolling_text_len: per-conversation trailing RANGE
+    window sum of text lengths (peer-inclusive, tie-deterministic)."""
+    from .validate import ROLLING_RANGE
+
+    return (
+        TRANSCRIPTS_CTE
+        + f"""
+SELECT conv_id, turn_idx,
+       CAST(sum(coalesce(length(text), 0)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         RANGE BETWEEN {ROLLING_RANGE} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS win_text_len
+FROM transcripts
+"""
+    )
+
+
+def sql_len_outliers(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of validate.q_len_outliers: Tukey fences from exact
+    quantile_disc quartiles, FENCE_MULT·IQR beyond q1/q3."""
+    from .validate import FENCE_MULT
+
+    return (
+        TRANSCRIPTS_CTE
+        + f""",
+_q AS (
+  SELECT quantile_disc(length(text), 0.25) AS q1,
+         quantile_disc(length(text), 0.75) AS q3
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CASE WHEN length(text) < q1 - {FENCE_MULT} * (q3 - q1)
+            THEN 'low' ELSE 'high' END AS side
+FROM transcripts, _q
+WHERE length(text) < q1 - {FENCE_MULT} * (q3 - q1)
+   OR length(text) > q3 + {FENCE_MULT} * (q3 - q1)
+"""
+    )
+
+
 def sql_ngram_jaccard(threshold: float = 0.5, shingle_k: int = 3) -> str:
     """Exact twin of stages.dedup.ngram_jaccard_pairs.
 

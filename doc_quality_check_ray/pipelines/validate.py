@@ -224,6 +224,106 @@ def q_ts_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Ta
     )
 
 
+#: trailing RANGE window width (turn_idx units) for the rolling text-length
+#: aggregate; RANGE (not ROWS) so duplicate (conv_id, turn_idx) keys — which
+#: the corpus plants — get a deterministic, tie-insensitive frame.
+ROLLING_RANGE = 2
+
+#: Tukey-fence multiplier for the length-outlier gate. The classic 1.5 finds
+#: nothing on this band-limited corpus (q1=175, q3=419, max 553), so the
+#: fence is config-driven like every reference threshold (config.json:58-101).
+FENCE_MULT = 0.25
+
+
+def q_rolling_text_len(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-turn trailing windowed aggregate: sum of text lengths over the
+    RANGE ``[turn_idx - ROLLING_RANGE, turn_idx]`` within each conversation —
+    the per-group sliding window the reference's pairwise repair pass walks
+    row-by-row (A4, ``identity_detection.py:189-259``), done set-at-a-time.
+
+    Scale shape: lengths are computed at the scan (text never shuffles);
+    conversations land whole in a conv-keyed bucket; inside a bucket the
+    window is one composite-key ``searchsorted`` against a prefix-sum —
+    no per-row or per-conversation Python loop. RANGE (peer-inclusive)
+    semantics make the result deterministic under duplicate turn keys.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        tl = pc.fill_null(pc.utf8_length(t["text"]), 0)
+        slim = pa.table(
+            {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"], "text_len": tl}
+        )
+        h = pl.from_arrow(slim.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return slim.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+        codes = pd.factorize(g["conv_id"], sort=False)[0].astype(np.int64)
+        ti = g["turn_idx"].to_numpy().astype(np.int64)
+        # sorted composite key: conversations separated by a 2^32 stride
+        k = codes * (1 << 32) + ti
+        pre = np.concatenate([[0], np.cumsum(g["text_len"].to_numpy(np.int64))])
+        lo = np.searchsorted(k, k - ROLLING_RANGE, side="left")
+        hi = np.searchsorted(k, k, side="right")
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "win_text_len": pre[hi] - pre[lo],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
+def q_len_outliers(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Tukey-fence length outliers: rows whose text length falls outside
+    ``[q1 - FENCE_MULT·IQR, q3 + FENCE_MULT·IQR]`` (exact quantile_disc
+    quartiles), tagged 'low' / 'high' — the distribution-driven analog of the
+    reference's fixed emptiness/readability thresholds (A8 percentile sweep,
+    ``tests/analyze_thresholds.py:91-200``, feeding M13/M14-style gates).
+
+    Two passes over the immutable input: the exact value-histogram exchange
+    for the quartiles (bounded distinct lengths), then an embarrassingly
+    parallel filter scan against the two broadcast scalar fences.
+    """
+    ds = derive_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    q1, q3 = _exact_value_quantiles(
+        ds, lambda t: pc.utf8_length(t["text"]), (0.25, 0.75), cfg
+    )
+    lo = q1 - FENCE_MULT * (q3 - q1)
+    hi = q3 + FENCE_MULT * (q3 - q1)
+
+    def gate(t: pa.Table) -> pa.Table:
+        tl = pc.utf8_length(t["text"])
+        is_lo = pc.less(tl, lo)
+        is_hi = pc.greater(tl, hi)
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "text_len": pc.cast(tl, pa.int64()),
+                "side": pc.if_else(is_lo, "low", "high"),
+            }
+        )
+        # null text ⇒ null comparison ⇒ dropped (SQL WHERE semantics)
+        return out.filter(pc.fill_null(pc.or_(is_lo, is_hi), False))
+
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
 def q_drift_report(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
     """Corpus drift vs a snapshot of the same corpus' even-conversation half.
 
