@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_label_centroids": D.q_label_centroids,
         "t_quality_gate": D.q_quality_gate,
         "d_mix_manifest": D.q_mix_manifest,
+        "t_domain_stats": D.q_domain_stats,
+        "t_distinct_terms": D.q_distinct_terms,
+        "t_hll_distinct": D.q_hll_distinct,
+        "d_bloom_decontaminate": D.q_bloom_decontaminate,
         "t_heavy_hitters": D.q_heavy_hitters,
         "t_heavy_hitters_recall": D.q_heavy_hitters_recall,
         "t_pii_redact": D.q_pii_redact,
@@ -161,6 +165,8 @@ def oracle_sql() -> dict[str, str]:
             D.QUALITY_GATE_Q, seed=D.SPLIT_SEED
         ),
         "t_pii_redact": O.sql_pii_redact(),
+        "t_domain_stats": O.sql_domain_stats(),
+        "t_distinct_terms": O.SQL_DISTINCT_TERMS,
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),

@@ -469,6 +469,319 @@ def q_top_terms_by_source(sf_dir: str, k: int = 5):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# -- URL / domain analysis ----------------------------------------------------
+
+#: full-match URL pattern; the domain is the match minus its scheme (the SQL
+#: twin captures group 1 of the same pattern instead — identical by anchoring)
+URL_RE = r"https?://[A-Za-z0-9.-]+"
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain URL frequency — the RefinedWeb-style source-domain rollup
+    (count of documents and of URL mentions per extracted domain) a web-scale
+    corpus uses for domain filtering/weighting. Reference analog: the URL/web
+    artifact banks (``checks/confidence_check.py:18-24``, M6) promoted from
+    "strip it" to "aggregate it".
+
+    The word-salad corpus carries no URLs, so deterministic ones are planted
+    in-query on both twins (the ``t_pii_redact`` pattern): doc_id ≡ 0 (mod 5)
+    gains a https://siteN.example.org link, ≡ 0 (mod 15) additionally a
+    http://cdnM.example.net mirror.
+
+    Scale shape: one polars ``extract_all`` pass per batch (no Python rows),
+    per-batch (domain, n_docs, n_urls) combiner — exact because each doc_id
+    lives in exactly one row — then a tiny domain-keyed hash exchange.
+    """
+    import numpy as np
+    import polars as pl
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        i = ids.to_numpy(zero_copy_only=False)
+        idstr = pc.cast(ids, pa.string())
+
+        def suffix(mask: np.ndarray, *parts) -> pa.Array:
+            return pc.if_else(
+                pa.array(mask), pc.binary_join_element_wise(*parts, ""), ""
+            )
+
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            suffix(
+                i % 5 == 0,
+                " see https://site",
+                pc.cast(pa.array(i % 20), pa.string()),
+                ".example.org/p/",
+                idstr,
+                " ok",
+            ),
+            suffix(
+                i % 15 == 0,
+                " mirror http://cdn",
+                pc.cast(pa.array(i % 7), pa.string()),
+                ".example.net/x down",
+            ),
+            "",
+        )
+        df = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(pc.cast(ids, pa.int64())),
+                "t": pl.from_arrow(planted),
+            }
+        )
+        g = (
+            df.select(
+                "doc_id", pl.col("t").str.extract_all(URL_RE).alias("u")
+            )
+            .explode("u")
+            .drop_nulls("u")
+            .with_columns(
+                pl.col("u").str.replace(r"^https?://", "").alias("domain")
+            )
+            .group_by("domain")
+            .agg(
+                n_docs=pl.col("doc_id").n_unique().cast(pl.Int64),
+                n_urls=pl.len().cast(pl.Int64),
+            )
+        )
+        return g.to_arrow().cast(
+            pa.schema(
+                [("domain", pa.string()), ("n_docs", pa.int64()), ("n_urls", pa.int64())]
+            )
+        )
+
+    return hash_bucket_aggregate(
+        _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True),
+        ["domain"],
+        {"n_docs": ("n_docs", "sum"), "n_urls": ("n_urls", "sum")},
+        num_buckets=8,
+    )
+
+
+# -- distinct counting (exact + sketch) --------------------------------------
+
+
+def _source_token_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (source, token) pairs per batch — the dedup combiner both
+    distinct-count paths share."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        src = pc.take(t["source"], pc.list_parent_indices(toks))
+        g = (
+            pa.table({"source": src, "token": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by(["source", "token"])
+            .aggregate([])
+        )
+        return g
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_distinct_terms(sf_dir: str):
+    """Exact per-source distinct-token counts: batch-deduped (source, token)
+    pairs → pair-keyed hash exchange (each surviving pair lives in exactly
+    one block) → disjoint per-block rollup → driver merge bounded by
+    sources × blocks. The exact twin the HLL meter measures against."""
+    import pandas as pd
+
+    pairs = hash_bucket_aggregate(
+        _source_token_pairs(sf_dir),
+        ["source", "token"],
+        {"n": ("token", "count")},
+        num_buckets=16,
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_tokens"])
+
+    parts = pairs.map_batches(rollup, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("source", as_index=False)["n_tokens"]
+        .sum()
+        .sort_values("source", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].astype("int64")),
+        }
+    )
+
+
+HLL_P = 12
+
+
+def q_hll_distinct(sf_dir: str):
+    """Per-source HyperLogLog distinct-token estimate vs the exact exchange
+    — the driver-visible accuracy meter for the mergeable cardinality sketch
+    (the run path's HLL, ``functions/sketches.py``). No SQL twin (register
+    maxima aren't SQL); the exact side is :func:`q_distinct_terms`.
+
+    Scale shape: per-batch (source → registers) partials, register-maximum
+    merge inside a source-keyed exchange; raw tokens never leave their batch
+    — only 2^p-byte registers shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.sketches import HyperLogLog
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.select(["token"])).hash_rows(seed=7).to_numpy()
+        src = t["source"].to_numpy(zero_copy_only=False)
+        rows = {"source": [], "regs": []}
+        for s in pd.unique(src):
+            hll = HyperLogLog(HLL_P).add_hashes(h[src == s])
+            rows["source"].append(s)
+            rows["regs"].append(hll.registers)
+        return pa.table(
+            {
+                "source": pa.array(rows["source"], pa.string()),
+                "regs": pa.array(
+                    [r.tolist() for r in rows["regs"]],
+                    pa.large_list(pa.uint8()),
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s, grp in g.groupby("source", sort=False):
+            regs = np.maximum.reduce(np.stack(grp["regs"].to_numpy()))
+            hll = HyperLogLog.from_list(regs, p=HLL_P)
+            out.append((s, hll.estimate()))
+        return pd.DataFrame(out, columns=["source", "n_est"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.select(["source"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(8)).astype(np.int64))
+        )
+
+    est = (
+        _source_token_pairs(sf_dir)
+        .map_batches(sketch, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    exact = q_distinct_terms(sf_dir).to_pandas()
+    m = exact.merge(est, on="source", how="left").sort_values(
+        "source", ignore_index=True
+    )
+    rel_err = (m["n_est"] - m["n_tokens"]).abs() / m["n_tokens"]
+    return pa.table(
+        {
+            "source": pa.array(m["source"], pa.string()),
+            "n_exact": pa.array(m["n_tokens"].astype("int64")),
+            "n_est": pa.array(m["n_est"].round(1), pa.float64()),
+            "rel_err": pa.array(rel_err.round(6), pa.float64()),
+        }
+    )
+
+
+# -- Bloom-filter decontamination ---------------------------------------------
+
+#: deliberately tiny so the false-positive meter has teeth on this corpus
+#: (2^16 bits at 42 keys gives FPR ≈ 4e-11 — a meter that cannot move);
+#: size m/k per real blocklist cardinality at scale.
+BLOOM_BITS = 256
+BLOOM_K = 2
+
+
+def q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination meter: the broadcast-sketch alternative
+    to the exact fingerprint anti-join (:func:`q_decontaminate`). A Bloom
+    filter built from the blocklist's content fingerprints is OR-merged from
+    per-batch partial bitmaps, broadcast once (``ray.put``), and probed per
+    corpus batch — no shuffle at all, the win over the anti-join when the
+    corpus is huge and the blocklist merely large. The price is false-
+    positive drops; this meter quantifies them against the exact twin:
+    (n_corpus, n_kept_exact, n_kept_bloom, n_false_drops, fpr). No SQL twin
+    (bit-array semantics); correctness pins: bloom keeps ⊆ exact keeps.
+    """
+    import numpy as np
+    import polars as pl
+
+    from ..functions.hashing import md5_fingerprints
+
+    def positions(texts: list) -> np.ndarray:
+        """(n, BLOOM_K) bit positions via double hashing of the md5
+        fingerprint (null text → fingerprint None → row never matches)."""
+        fps = md5_fingerprints(texts)
+        s = pl.Series("f", ["" if f is None else f for f in fps])
+        h1 = pl.DataFrame({"f": s}).hash_rows(seed=1).to_numpy()
+        h2 = pl.DataFrame({"f": s}).hash_rows(seed=2).to_numpy()
+        ks = np.arange(BLOOM_K, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(BLOOM_BITS)).astype(
+            np.int64
+        ), np.array([f is not None for f in fps])
+
+    def build(t: pa.Table) -> pa.Table:
+        pos, valid = positions(t["text"].to_pylist())
+        bits = np.zeros(BLOOM_BITS, dtype=bool)
+        bits[pos[valid].ravel()] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()], pa.binary())})
+
+    partial_maps = (
+        q_sample_documents(sf_dir)
+        .map_batches(build, batch_format="pyarrow")
+        .take_all()
+    )  # O(blocks) 32-byte bitmaps — driver merge is the tree-reduce root
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    for row in partial_maps:
+        bits |= np.unpackbits(np.frombuffer(row["bm"], dtype=np.uint8)).astype(bool)
+    bits_ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        pos, valid = positions(t["text"].to_pylist())
+        hit = b[pos].all(axis=1) & valid
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "dropped": pa.array(hit)}
+        )
+
+    probed = (
+        _docs(sf_dir)
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    kept_bloom = set(probed.loc[~probed["dropped"], "doc_id"])
+    kept_exact = set(
+        q_decontaminate(sf_dir).to_pandas()["doc_id"].astype("int64")
+    )
+    false_drops = kept_exact - kept_bloom  # bloom false positives
+    n_candidates = len(kept_exact)  # rows a perfect filter keeps
+    return pa.table(
+        {
+            "n_corpus": pa.array([len(probed)], pa.int64()),
+            "n_kept_exact": pa.array([len(kept_exact)], pa.int64()),
+            "n_kept_bloom": pa.array([len(kept_bloom)], pa.int64()),
+            "n_false_drops": pa.array([len(false_drops)], pa.int64()),
+            "fpr": pa.array(
+                [round(len(false_drops) / n_candidates, 6) if n_candidates else 0.0],
+                pa.float64(),
+            ),
+            "no_false_keeps": pa.array(
+                [kept_bloom <= kept_exact], pa.bool_()
+            ),
+        }
+    )
+
+
 def q_dup_components(sf_dir: str, threshold: float = 0.25):
     """Duplicate-cluster canonicalization: connected components over the
     exact n-gram Jaccard near-dup graph → (doc_id, component_id = min id in

@@ -585,6 +585,39 @@ SELECT source, token, n FROM r WHERE rn <= %d
 """ % k
 
 
+def sql_domain_stats() -> str:
+    """Twin of documents.q_domain_stats: identical in-query URL plants, the
+    same URL pattern with the scheme captured out, per-domain doc/url counts."""
+    return r"""
+WITH p AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' ok'
+         ELSE '' END
+    || CASE WHEN doc_id % 15 = 0
+         THEN ' mirror http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.net/x down'
+         ELSE '' END AS t
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM p
+)
+SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+FROM u GROUP BY 1
+"""
+
+
+SQL_DISTINCT_TERMS = r"""
+SELECT source, count(DISTINCT token) AS n_tokens FROM (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+) WHERE token <> '' GROUP BY 1
+"""
+
+
 def sql_dup_components(threshold: float = 0.25) -> str:
     """Twin of q_dup_components: recursive min-label propagation over the
     same n-gram Jaccard edge list (component id = min reachable node)."""

@@ -159,3 +159,36 @@ def test_pii_redact_plants_and_masks(sf_dir):
     assert not out.redacted.str.contains(r"\d+\.\d+\.\d+\.\d+", regex=True).any()
     # doc 0 hits all three classes
     assert out.loc[0, ["n_email", "n_phone", "n_ip"]].tolist() == [1, 1, 1]
+
+
+def test_hll_distinct_meter(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import q_hll_distinct
+
+    m = q_hll_distinct(sf_dir).to_pandas()
+    assert len(m) > 0 and (m["n_exact"] > 0).all()
+    # p=12 HLL on a band-limited vocabulary: relative error well under 5%
+    assert (m["rel_err"] < 0.05).all()
+
+
+def test_bloom_decontaminate_never_false_keeps(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import q_bloom_decontaminate
+
+    m = q_bloom_decontaminate(sf_dir).to_pandas().iloc[0]
+    # a Bloom filter can over-drop (false positives) but never under-drop
+    assert bool(m["no_false_keeps"])
+    assert m["n_kept_bloom"] <= m["n_kept_exact"]
+    assert m["n_false_drops"] == m["n_kept_exact"] - m["n_kept_bloom"]
+    # the deliberately tiny filter must actually exercise the meter
+    assert m["fpr"] > 0
+
+
+def test_domain_stats_plants(sf_dir):
+    from doc_quality_check_ray.pipelines.documents import q_domain_stats
+
+    d = q_domain_stats(sf_dir).to_pandas().set_index("domain")
+    # 100 docs per site bucket at 500 docs / mod 5 / 20 sites -> 5 docs each
+    org = d[d.index.str.endswith("example.org")]
+    net = d[d.index.str.endswith("example.net")]
+    assert org["n_urls"].sum() == 100  # 500/5 docs planted one URL each
+    assert net["n_urls"].sum() == 34  # ceil(500/15) plants
+    assert (d["n_docs"] <= d["n_urls"]).all()
