@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_label_centroids": D.q_label_centroids,
         "t_quality_gate": D.q_quality_gate,
         "d_mix_manifest": D.q_mix_manifest,
+        "d_substring_dup_docs": D.q_substring_dup_docs,
         "t_domain_stats": D.q_domain_stats,
         "t_distinct_terms": D.q_distinct_terms,
         "t_hll_distinct": D.q_hll_distinct,
@@ -166,6 +167,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_pii_redact": O.sql_pii_redact(),
         "t_domain_stats": O.sql_domain_stats(),
+        "d_substring_dup_docs": O.sql_substring_dup_docs(
+            D.SUBSTR_K, D.SUBSTR_MIN_SHARED
+        ),
         "t_distinct_terms": O.SQL_DISTINCT_TERMS,
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,

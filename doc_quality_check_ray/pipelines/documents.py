@@ -469,6 +469,23 @@ def q_top_terms_by_source(sf_dir: str, k: int = 5):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+SUBSTR_K = 16
+SUBSTR_MIN_SHARED = 32
+
+
+def q_substring_dup_docs(sf_dir: str):
+    """Exact duplicated-substring detection (Lee et al. 2021, doc-level):
+    documents ≥SUBSTR_MIN_SHARED of whose distinct 16-char grams appear in
+    another document — the exact member of the near-dup family (D3), no
+    hashing, SQL-oracle-backed. See :func:`stages.dedup.substring_dup_docs`
+    for the flat-buffer gram exchange."""
+    from ..stages.dedup import substring_dup_docs
+
+    return substring_dup_docs(
+        _docs(sf_dir), k=SUBSTR_K, min_shared=SUBSTR_MIN_SHARED
+    )
+
+
 # -- URL / domain analysis ----------------------------------------------------
 
 #: full-match URL pattern; the domain is the match minus its scheme (the SQL

@@ -585,6 +585,24 @@ SELECT source, token, n FROM r WHERE rn <= %d
 """ % k
 
 
+def sql_substring_dup_docs(k: int = 16, min_shared: int = 32) -> str:
+    """Twin of documents.q_substring_dup_docs: distinct char k-grams per doc,
+    grams seen in ≥2 docs, per-doc shared-gram count ≥ min_shared."""
+    return f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, i, {k}) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {k - 1})) AS i
+        FROM documents)
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+)
+SELECT doc_id, count(*) AS n_shared
+FROM g JOIN d USING (gram)
+GROUP BY 1 HAVING count(*) >= {min_shared}
+"""
+
+
 def sql_domain_stats() -> str:
     """Twin of documents.q_domain_stats: identical in-query URL plants, the
     same URL pattern with the scheme captured out, per-domain doc/url counts."""

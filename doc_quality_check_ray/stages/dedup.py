@@ -932,3 +932,119 @@ def ngram_jaccard_pairs(
         return out.astype({"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def substring_dup_docs(
+    ds: ray.data.Dataset,
+    k: int = 16,
+    min_shared: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact duplicated-substring detection (the doc-level form of Lee et
+    al. 2021's exact substring dedup): (doc_id, n_shared) for documents at
+    least ``min_shared`` of whose distinct k-char grams occur in some OTHER
+    document. Unlike the MinHash/SimHash/winnowing family this ships the
+    grams themselves (fixed k-byte keys), so the result is exact — no hash
+    collisions, no window selection — with a plain SQL twin.
+
+    Scale shape: per-batch distinct (doc_id, gram) pairs built from ONE flat
+    byte buffer via ``sliding_window_view`` (no Python rows; the
+    ``kgram_hashes`` layout trick with the hash replaced by the gram bytes);
+    gram-keyed hash exchange counts docs per gram and emits per-doc partial
+    shared-counts (each gram lives in exactly one bucket, so partials sum
+    exactly); final doc-keyed exchange applies the threshold. Gram volume is
+    ~len(text) rows of k+8 bytes per doc — the documented cost of exactness;
+    at 100 TB run it per shard/source partition or after a cheap candidate
+    cut (winnowing), exactly how the paper pipelines it.
+
+    Byte-vs-character caveat: grams are byte windows; rows containing
+    non-ASCII text (where codepoints ≠ bytes) take a per-row Python
+    fallback so the result still matches the SQL twin's character windows.
+    """
+    import polars as pl
+
+    def grams(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        buf = pc.cast(pc.fill_null(text, ""), pa.binary())
+        lens = pc.binary_length(buf).to_numpy(zero_copy_only=False).astype(np.int64)
+        ascii_ok = (
+            pc.fill_null(pc.equal(pc.utf8_length(text), pc.binary_length(buf)), True)
+            .to_numpy(zero_copy_only=False)
+        )
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        if buf.offset == 0 and buf.buffers()[2] is not None:
+            data = np.frombuffer(buf.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+        else:
+            data = np.frombuffer(b"".join(buf.to_pylist()), dtype=np.uint8)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+
+        if len(data) >= k:
+            win = np.lib.stride_tricks.sliding_window_view(data, k)
+            pos = np.arange(len(win))
+            row_of = np.searchsorted(offsets, pos, side="right") - 1
+            valid = (pos + k <= offsets[row_of + 1]) & ascii_ok[row_of]
+            g_rows = row_of[valid]
+            g_bytes = np.ascontiguousarray(win[valid]).view(f"S{k}").ravel()
+        else:
+            g_rows = np.zeros(0, dtype=np.int64)
+            g_bytes = np.zeros(0, dtype=f"S{k}")
+
+        # rare non-ASCII rows: character windows via a per-row fallback
+        extra_rows, extra_grams = [], []
+        for i in np.flatnonzero(~ascii_ok):
+            s = text[i].as_py() or ""
+            extra_rows.extend([i] * max(len(s) - k + 1, 0))
+            extra_grams.extend(s[j : j + k] for j in range(max(len(s) - k + 1, 0)))
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids[g_rows], ids[extra_rows]])
+                    if extra_rows
+                    else ids[g_rows],
+                    pa.int64(),
+                ),
+                "gram": pa.concat_arrays(
+                    [
+                        pa.array(g_bytes.astype("S"), pa.binary()).cast(pa.binary()),
+                        pa.array(
+                            [g.encode("utf-8") for g in extra_grams], pa.binary()
+                        ),
+                    ]
+                )
+                if extra_rows
+                else pa.array(g_bytes.astype("S"), pa.binary()),
+            }
+        )
+        # distinct per doc; docs are batch-local so this is globally distinct
+        return tbl.group_by(["doc_id", "gram"]).aggregate([])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.select(["gram"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def shared_partials(g: pd.DataFrame) -> pd.DataFrame:
+        n_docs = g.groupby("gram", sort=False)["doc_id"].transform("size")
+        hit = g[n_docs >= 2]
+        out = hit.groupby("doc_id", sort=False).size().rename("n").reset_index()
+        return out
+
+    partials = (
+        ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(shared_partials, batch_format="pandas")
+    )
+    summed = hash_bucket_aggregate(
+        partials, ["doc_id"], {"n_shared": ("n", "sum")}, num_buckets=16
+    )
+    return summed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow",
+    )

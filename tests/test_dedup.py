@@ -135,3 +135,50 @@ def test_ngram_jaccard_within_groups():
     assert (11, 110) in found or (10, 109) in found
     for _, r in pairs.iterrows():
         assert r.a_id % 3 == r.b_id % 3  # partitioning assumption holds
+
+
+def test_substring_dup_docs_matches_duckdb_including_non_ascii():
+    """The byte-window fast path and the non-ASCII char-window fallback must
+    both reproduce DuckDB's character-based substring semantics."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from doc_quality_check_ray.stages.dedup import substring_dup_docs
+
+    shared = "the same long verbatim overlap sentence"
+    uni = "héllo wörld — unicode padding çüé " + "x" * 10
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "prefix A " + shared + " tail one",
+                "prefix B " + shared + " tail two",
+                "completely unrelated content nothing in common here at all",
+                uni + shared,          # non-ASCII row sharing the overlap
+                uni + " different",    # non-ASCII row sharing only uni prefix
+                None,
+            ],
+        }
+    )
+    got = (
+        substring_dup_docs(ray.data.from_pandas(docs), k=16, min_shared=4)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(
+        """
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, i, 16) AS gram
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-15)) AS i
+        FROM documents)
+), d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+SELECT doc_id, count(*) AS n_shared FROM g JOIN d USING (gram)
+GROUP BY 1 HAVING count(*) >= 4 ORDER BY doc_id
+"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+    # the planted overlap is found, for ASCII and non-ASCII carriers alike
+    assert {1, 2, 4} <= set(got["doc_id"])
