@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_lsh_near_dup": D.q_lsh_near_dup,
         "d_semantic_dedup": D.q_semantic_dedup,
         "d_ivf_knn": D.q_ivf_knn,
+        "d_kmeans_assign": D.q_kmeans_assign,
         # driver-visible recall of every approximate operator vs its exact twin
         "d_minhash_recall": D.q_minhash_recall,
         "d_simhash_recall": D.q_simhash_recall,
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_langid": D.q_langid,
         "t_fingerprints": D.q_fingerprints,
         "t_top_terms": D.q_top_terms,
+        "t_bigram_counts": D.q_bigram_counts,
         "t_two_tier_scores": D.q_two_tier_scores,
         "t_subtoken_counts": D.q_subtoken_counts,
         "t_top_terms_by_source": D.q_top_terms_by_source,
@@ -111,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_hourly_event_counts": E.q_hourly_event_counts,
         "e_sliding_event_counts": E.q_sliding_event_counts,
         "e_signup_attribution": E.q_signup_attribution,
+        "e_funnel_counts": E.q_funnel_counts,
         # relational operators over the TPC-H-ish tables
         "r_pricing_summary": R.q_pricing_summary,
         "r_events_by_nation": R.q_events_by_nation,
@@ -143,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "t_langid": O.sql_langid(),
         "t_fingerprints": O.sql_fingerprints(),
         "t_top_terms": O.sql_top_terms(),
+        "t_bigram_counts": O.sql_bigram_counts(D.BIGRAM_TOP_K),
+        "d_kmeans_assign": O.sql_kmeans_assign(D.KMEANS_CENTROID_IDS),
         "t_two_tier_scores": O.sql_two_tier_scores(D.TWO_TIER_CUTOFF),
         "t_subtoken_counts": O.sql_subtoken_counts(D.SUBTOKEN_RE2),
         "t_top_terms_by_source": O.sql_top_terms_by_source(),
@@ -195,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         "e_user_sessions": E.SQL_USER_SESSIONS,
         "e_asof_last_signup": E.SQL_ASOF_LAST_SIGNUP,
         "e_signup_attribution": E.SQL_SIGNUP_ATTRIBUTION,
+        "e_funnel_counts": E.SQL_FUNNEL_COUNTS,
     }

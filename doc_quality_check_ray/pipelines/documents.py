@@ -177,6 +177,19 @@ def q_lsh_near_dup(sf_dir: str):
     return lsh_bucket_near_dup(_embs_planted(sf_dir), threshold=COSINE_THRESHOLD)
 
 
+KMEANS_CENTROID_IDS = list(range(8))
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment over the embeddings corpus (Lloyd's
+    scoring step / IVF coarse quantizer as a standalone oracle-backed
+    operator); centroids = the vectors of vec_id 0..7, so the DuckDB twin
+    recomputes them exactly."""
+    from ..stages.similarity import kmeans_assign
+
+    return kmeans_assign(_embs(sf_dir), KMEANS_CENTROID_IDS)
+
+
 def q_ivf_knn(sf_dir: str):
     """IVF approximate kNN (clustered scale path); recall measured against
     q_knn in tests. No SQL oracle (iterative k-means)."""
@@ -467,6 +480,64 @@ def q_top_terms_by_source(sf_dir: str, k: int = 5):
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+BIGRAM_TOP_K = 30
+
+
+def q_bigram_counts(sf_dir: str, top_k: int = BIGRAM_TOP_K):
+    """Corpus top-k bigram counts — the n-gram statistics pass an LM data
+    pipeline runs beside the unigram model (``t_unigram_logprob``).
+
+    Bigrams are adjacent raw-split tokens with both sides non-empty (raw
+    adjacency, not post-filter adjacency, so the SQL list twin is literal).
+    Per-batch combiner on one flat token array (two offset slices + one
+    vectorized join — no Python rows) → token-keyed exchange → exact
+    per-block top-k prune (the ``q_top_terms`` argument) → driver keeps k.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        a, b = flat.slice(0, n - 1), flat.slice(1, n - 1)
+        same_doc = pc.equal(par.slice(0, n - 1), par.slice(1, n - 1))
+        keep = pc.and_(
+            same_doc, pc.and_(pc.not_equal(a, ""), pc.not_equal(b, ""))
+        )
+        bigram = pc.binary_join_element_wise(a, b, " ")
+        g = (
+            pa.table({"bigram": bigram})
+            .filter(keep)
+            .group_by("bigram")
+            .aggregate([([], "count_all")])
+            .rename_columns(["bigram", "n"])
+        )
+        return g
+
+    merged = hash_bucket_aggregate(
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bigram"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"], ascending=[False, True]).head(top_k)
+
+    counts = merged.map_batches(prune, batch_format="pandas").to_pandas()
+    counts = counts.sort_values(["n", "bigram"], ascending=[False, True]).head(top_k)
+    return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
 
 
 SUBSTR_K = 16

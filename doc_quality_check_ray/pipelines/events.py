@@ -347,3 +347,94 @@ FROM events e ASOF LEFT JOIN
      (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
   ON e.user_id = s.user_id AND e.ts >= s.ts
 """
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered conversion funnel over the event stream: users with a view,
+    users whose first click follows their first view, users whose first
+    purchase then follows that click — the product-analytics staple, done
+    with per-user first-touch timestamps instead of row-by-row scanning.
+
+    Scale shape: per-batch (user, stage) min-ts combiner → user-keyed hash
+    exchange (min merge) → per-bucket vectorized pivot + stage predicates →
+    driver sums B 3-row partials. Only (user, stage, ts) triples shuffle.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(list(FUNNEL_STAGES))))
+        g = (
+            t.select(["user_id", "event_type", "ts"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("ts", "min")])
+        )
+        return g.rename_columns(["user_id", "event_type", "first_ts"])
+
+    firsts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"],
+        {"first_ts": ("first_ts", "min")},
+        num_buckets=16,
+    )
+
+    def stage_partial(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(
+            index="user_id", columns="event_type", values="first_ts", aggfunc="min"
+        )
+        for s in FUNNEL_STAGES:
+            if s not in p.columns:
+                p[s] = pd.NaT
+        s1 = p["view"].notna()
+        s2 = s1 & (p["click"] > p["view"])
+        s3 = s2 & (p["purchase"] > p["click"])
+        return pd.DataFrame(
+            {
+                "stage": ["view", "view>click", "view>click>purchase"],
+                "n_users": [int(s1.sum()), int(s2.sum()), int(s3.sum())],
+            }
+        )
+
+    # users are disjoint across buckets → the ≤16 3-row partials sum exactly
+    import numpy as np
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("b2", pa.array((uid % 8).astype(np.int64)))
+
+    parts = (
+        firsts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b2")
+        .map_groups(stage_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("stage", as_index=False)["n_users"].sum()
+    order = {"view": 0, "view>click": 1, "view>click>purchase": 2}
+    out = out.sort_values("stage", key=lambda s: s.map(order), ignore_index=True)
+    return pa.table(
+        {
+            "stage": pa.array(out["stage"], pa.string()),
+            "n_users": pa.array(out["n_users"].astype("int64")),
+        }
+    )
+
+
+SQL_FUNNEL_COUNTS = """
+WITH m AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS tv,
+         min(ts) FILTER (event_type = 'click') AS tc,
+         min(ts) FILTER (event_type = 'purchase') AS tp
+  FROM events GROUP BY 1
+)
+SELECT 'view' AS stage, count(*) AS n_users FROM m WHERE tv IS NOT NULL
+UNION ALL
+SELECT 'view>click', count(*) FROM m WHERE tv IS NOT NULL AND tc > tv
+UNION ALL
+SELECT 'view>click>purchase', count(*) FROM m
+WHERE tv IS NOT NULL AND tc > tv AND tp > tc
+"""

@@ -291,6 +291,42 @@ SELECT qid AS query_id, nid AS neighbor_id, cos AS cosine FROM r WHERE rn <= {k}
 """
 
 
+def sql_kmeans_assign(centroid_ids=range(8)) -> str:
+    """Twin of documents.q_kmeans_assign: rounded cosine argmax with
+    row_number tie-break on centroid id."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({ids})
+), s AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 5) AS cos
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM s
+)
+SELECT vec_id, cid AS centroid_id, cos AS cosine FROM r WHERE rn = 1
+"""
+
+
+def sql_bigram_counts(top_k: int = 30) -> str:
+    """Twin of documents.q_bigram_counts: adjacent raw-split tokens, both
+    sides non-empty, global top-k with (n desc, bigram asc) tie-break."""
+    return rf"""
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+  WHERE text IS NOT NULL
+), i AS (
+  SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t
+)
+SELECT ts[i] || ' ' || ts[i + 1] AS bigram, count(*) AS n
+FROM i WHERE ts[i] <> '' AND ts[i + 1] <> ''
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT {top_k}
+"""
+
+
 def sql_embeddings_planted_cte(
     k: int, alpha: float, offset: int, with_label: bool = False
 ) -> str:

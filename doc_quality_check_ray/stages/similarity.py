@@ -404,3 +404,59 @@ def ivf_knn(
     )
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroid_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Nearest-centroid assignment — the scoring half of distributed k-means
+    (Lloyd's assignment step; the IVF index's coarse quantizer run as a
+    standalone, oracle-verifiable operator). Centroids here are the vectors
+    of ``centroid_ids`` (deterministic, so the DuckDB twin can recompute
+    them); a trained model would broadcast its centroid matrix identically.
+
+    Scale shape: the K×dim centroid matrix is broadcast once (``ray.put``),
+    each batch performs one float64 matmul and a vectorized rounded-argmax
+    (ties → smallest centroid id, matching the SQL ``row_number`` order);
+    output streams (vec_id, centroid_id, cosine) with no shuffle at all.
+    """
+    import pyarrow.compute as pc
+
+    cset = sorted(int(c) for c in centroid_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(cset)))
+
+    ct = pa.concat_tables(
+        list(
+            ds.map_batches(grab, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ),
+        promote_options="default",
+    )
+    order = np.argsort(ct[id_col].to_numpy(zero_copy_only=False))
+    ct = ct.take(pa.array(order))
+    c_ids = ct[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    C = _unit(_matrix(ct, vec_col))
+    c_ref = ray.put((c_ids, C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c_ids_, C_ = ray.get(c_ref)
+        M = _unit(_matrix(t, vec_col))
+        sims = round_half_away(M @ C_.T, ROUND)  # (batch, K), oracle-rounded
+        best = sims.max(axis=1, keepdims=True)
+        # first (= smallest id, ids sorted asc) centroid attaining the max
+        cid = c_ids_[np.argmax(sims == best, axis=1)]
+        return pa.table(
+            {
+                "vec_id": pc.cast(t[id_col], pa.int64()),
+                "centroid_id": pa.array(cid, pa.int64()),
+                "cosine": pa.array(best.ravel(), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
