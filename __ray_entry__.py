@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_threshold_sweep": V.q_threshold_sweep,
         "v_rolling_text_len": V.q_rolling_text_len,
         "v_len_outliers": V.q_len_outliers,
+        "v_role_transitions": V.q_role_transitions,
+        "t_len_quantiles_by_source": V.q_len_quantiles_by_source,
         # event-stream operators
         "e_parse_props": E.q_parse_props,
         "e_user_sessions": E.q_user_sessions,
@@ -196,6 +198,8 @@ def oracle_sql() -> dict[str, str]:
         "v_threshold_sweep": O.sql_threshold_sweep(),
         "v_rolling_text_len": O.sql_rolling_text_len(),
         "v_len_outliers": O.sql_len_outliers(),
+        "v_role_transitions": O.sql_role_transitions(),
+        "t_len_quantiles_by_source": O.sql_len_quantiles_by_source(),
         "e_parse_props": E.SQL_PARSE_PROPS,
         "e_user_sessions": E.SQL_USER_SESSIONS,
         "e_asof_last_signup": E.SQL_ASOF_LAST_SIGNUP,

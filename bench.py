@@ -62,6 +62,14 @@ QUERY_NAMES = [
     "d_token_budget_sample",
     "t_heavy_hitters",
     "d_mix_manifest",
+    "d_substring_dup_docs",
+    "t_bigram_counts",
+    "v_rolling_text_len",
+    "d_kmeans_assign",
+    "e_funnel_counts",
+    "r_customer_order_counts",
+    "v_role_transitions",
+    "t_len_quantiles_by_source",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

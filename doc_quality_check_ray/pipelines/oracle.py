@@ -1064,6 +1064,42 @@ GROUP BY conv_id
     )
 
 
+def sql_role_transitions(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of validate.q_role_transitions: Markov transition counts over
+    consecutive turns per conversation. ``lag`` over (turn_idx, ts) matches
+    the engine's mergesort order; tie rows (the planted duplicate keys) are
+    byte-identical so the pair multiset is order-invariant. First-turn and
+    null-role predecessors both surface as NULL prev and are filtered on
+    both sides; a NULL current role is kept as its own group on both sides."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT prev_role, role, count(*) AS n FROM (
+  SELECT role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_role
+  FROM transcripts
+) WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+    )
+
+
+def sql_len_quantiles_by_source() -> str:
+    """Twin of validate.q_len_quantiles_by_source: exact per-source discrete
+    quantiles (quantile_disc = sorted element at 1-based ceil(q*n), the same
+    rule _exact_quantiles_from_hist implements per group)."""
+    from .validate import GROUPED_QUANTILES
+
+    p50, p90 = GROUPED_QUANTILES
+    return f"""
+SELECT source,
+       CAST(quantile_disc(length(text), {p50}) AS BIGINT) AS p50_len,
+       CAST(quantile_disc(length(text), {p90}) AS BIGINT) AS p90_len
+FROM documents
+GROUP BY source
+"""
+
+
 def sql_adjusted_scores(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     ratio = sql_valid_char_ratio_expr("t.text")
     return (

@@ -324,6 +324,107 @@ def q_len_outliers(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Ta
     return ds.map_batches(gate, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
+def q_role_transitions(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Role Markov-transition counts: (prev_role, role, n) over consecutive
+    turns within each conversation — the corpus-level sequencing profile the
+    per-conversation repeat check (``q_role_sequences``) samples from.
+
+    Conv-keyed exchange; inside a bucket one vectorized shift + pair count.
+    Order ties (the planted duplicate keys) are byte-identical rows, so the
+    pair counts are order-invariant — same argument as ``q_role_sequences``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        prev = g.groupby("conv_id", sort=False)["role"].shift()
+        pairs = pd.DataFrame({"prev_role": prev, "role": g["role"]})
+        pairs = pairs[pairs["prev_role"].notna()]
+        out = (
+            pairs.groupby(["prev_role", "role"], sort=False, dropna=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    return hash_bucket_aggregate(
+        partials, ["prev_role", "role"], {"n": ("n", "sum")}, num_buckets=4
+    )
+
+
+GROUPED_QUANTILES = (0.50, 0.90)
+
+
+def q_len_quantiles_by_source(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Exact per-group quantiles: (source, p50_len, p90_len) of document
+    text lengths — the grouped form of the A8/A9 percentile table
+    (``tests/analyze_thresholds.py:32-172``: per-category min/max/percentile
+    stats). Distributed (source, length) → count histogram exchange; the
+    driver finishes ≤ sources × distinct-lengths rows with the shared
+    ``quantile_disc`` cumsum (the :func:`_exact_value_quantiles` argument,
+    per group)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": t["source"], "v": pc.utf8_length(t["text"])})
+            .drop_null()
+            .group_by(["source", "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "v", "n"])
+        )
+        return g
+
+    hist = (
+        hash_bucket_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["source", "v"],
+            {"n": ("n", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["source", "v"], ignore_index=True)
+    )
+    rows = []
+    for src, grp in hist.groupby("source", sort=True):
+        qs = _exact_quantiles_from_hist(
+            pa.table({"v": grp["v"].to_numpy(), "n": grp["n"].to_numpy()}),
+            GROUPED_QUANTILES,
+        )
+        rows.append((src, *qs))
+    out = pd.DataFrame(rows, columns=["source", "p50_len", "p90_len"])
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "p50_len": pa.array(out["p50_len"].astype("int64")),
+            "p90_len": pa.array(out["p90_len"].astype("int64")),
+        }
+    )
+
+
 def q_drift_report(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
     """Corpus drift vs a snapshot of the same corpus' even-conversation half.
 
