@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_terms_by_source": D.q_top_terms_by_source,
         "d_sample_documents": D.q_sample_documents,
         "d_decontaminate": D.q_decontaminate,
+        "d_ngram_decontaminate": D.q_ngram_decontaminate,
         "d_dup_components": D.q_dup_components,
         "d_dedup_keep": D.q_dedup_keep,
         "d_pack_chunks": D.q_pack_chunks,
@@ -155,6 +156,9 @@ def oracle_sql() -> dict[str, str]:
         "t_top_terms_by_source": O.sql_top_terms_by_source(),
         "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
         "d_decontaminate": O.sql_decontaminate(D.SAMPLE_HEX_LT),
+        "d_ngram_decontaminate": O.sql_ngram_decontaminate(
+            D.SAMPLE_HEX_LT, D.NGRAM_DECON_K
+        ),
         "d_dup_components": O.sql_dup_components(),
         "d_dedup_keep": O.sql_dedup_keep(),
         "d_pack_chunks": O.sql_pack_chunks(D.PACK_CHUNK, D.PACK_CAPACITY),

@@ -70,6 +70,7 @@ QUERY_NAMES = [
     "r_customer_order_counts",
     "v_role_transitions",
     "t_len_quantiles_by_source",
+    "d_ngram_decontaminate",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

@@ -107,6 +107,30 @@ def shingle_hashes(flat_tokens: np.ndarray, offsets: np.ndarray, k: int = 3):
     return out, out_offsets
 
 
+def gram_hashes(flat_tokens: np.ndarray, offsets: np.ndarray, k: int):
+    """Order-sensitive token k-gram hashes for rows with ≥ k tokens
+    (rows shorter than k contribute nothing — the GPT-3 n-gram-overlap
+    decontamination rule skips them, unlike :func:`shingle_hashes`).
+
+    Polynomial combine h = ((h·P + t) mod 2^64) over the flat token-hash
+    buffer — position-sensitive for any k (``shingle_hashes``'s fixed
+    multiplier table stops at k=3). Returns ``(row_idx, hashes)``: the
+    batch-row index and 64-bit hash of every in-row k-gram window, fully
+    vectorized (k-1 array ops; never a loop over rows or grams).
+    """
+    n = len(flat_tokens)
+    if n < k:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    sh = flat_tokens[: n - k + 1].copy()
+    for j in range(1, k):
+        sh = sh * prime + flat_tokens[j : n - k + 1 + j]
+    pos = np.arange(len(sh))
+    row_of = np.searchsorted(offsets, pos, side="right") - 1
+    valid = pos + k <= offsets[row_of + 1]
+    return row_of[valid].astype(np.int64), sh[valid]
+
+
 def minhash_signatures(
     flat_shingles: np.ndarray,
     offsets: np.ndarray,

@@ -137,6 +137,33 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), q_sample_documents(sf_dir))
 
 
+NGRAM_DECON_K = 5
+
+
+def q_ngram_decontaminate(sf_dir: str):
+    """N-gram-overlap decontamination (GPT-3 appendix-C rule, token 5-grams):
+    flag unsampled corpus docs sharing any token 5-gram with the hash-sample
+    "eval set" — catches partial/near contamination the exact-md5 anti-join
+    (:func:`q_decontaminate`) misses. (doc_id, n_dirty) per flagged doc;
+    nonzero by construction (planted near-dup pairs cross the sample
+    boundary). See :func:`stages.dedup.ngram_decontaminate`."""
+    from ..functions.hashing import md5_first_byte_of_ints
+    from ..stages.dedup import ngram_decontaminate
+
+    cut = int(SAMPLE_HEX_LT, 16)
+
+    def keep_unsampled(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(md5_first_byte_of_ints(ids) >= cut))
+
+    corpus = _docs(sf_dir).map_batches(
+        keep_unsampled, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ngram_decontaminate(
+        corpus, q_sample_documents(sf_dir), k=NGRAM_DECON_K
+    )
+
+
 def q_winnow_pairs(sf_dir: str):
     """Rolling-hash (winnowing) copy-detection pairs: docs sharing ≥8
     selected fingerprints (long verbatim overlap). No SQL oracle (rolling

@@ -605,6 +605,32 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}'
 """
 
 
+def sql_ngram_decontaminate(hex_lt: str, k: int = 5) -> str:
+    """Twin of documents.q_ngram_decontaminate: distinct contaminated token
+    k-grams per unsampled doc, joining gram STRINGS (the engine joins 64-bit
+    gram hashes — equal counts modulo ~2^-64 collisions, the
+    sql_ngram_jaccard argument). Tokenization matches token_hashes:
+    lowercase, trim, split \\s+; rows with < k tokens contribute nothing."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}' AS blk,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), idx AS (
+  SELECT doc_id, blk, ts, unnest(generate_series(1, len(ts) - {k - 1})) AS i
+  FROM tok WHERE len(ts) >= {k}
+), grams AS (
+  SELECT DISTINCT doc_id, blk, array_to_string(list_slice(ts, i, i + {k - 1}), ' ') AS g
+  FROM idx
+), blkg AS (SELECT DISTINCT g FROM grams WHERE blk)
+SELECT doc_id, count(*) AS n_dirty
+FROM grams JOIN blkg USING (g) WHERE NOT blk
+GROUP BY doc_id
+"""
+
+
 def sql_top_terms_by_source(k: int = 5) -> str:
     # token <> '' instead of a space-only trim() guard — see sql_top_terms
     return r"""

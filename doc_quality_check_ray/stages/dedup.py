@@ -36,6 +36,7 @@ from .exchange import hash_bucket_aggregate
 from ..functions.rounding import round_half_away, round_half_away_scalar
 from ..functions.hashing import (
     band_hashes,
+    gram_hashes,
     hamming_distance,
     jaccard,
     md5_fingerprints,
@@ -647,6 +648,81 @@ def decontaminate(
         tagged_corpus.union(tagged_block)
         .groupby("__bucket")
         .map_groups(anti, batch_format="pandas")
+    )
+
+
+def ngram_decontaminate(
+    corpus: ray.data.Dataset,
+    blocklist: ray.data.Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Token-n-gram decontamination (the GPT-3 appendix-C overlap rule:
+    flag a training doc if it shares any token k-gram with an eval doc) —
+    stricter than :func:`decontaminate`'s whole-content anti-join. Returns
+    ``(doc_id, n_dirty)`` for corpus docs sharing ≥1 lowercased-whitespace
+    token k-gram with the blocklist, n_dirty = the doc's DISTINCT
+    contaminated grams.
+
+    Scale shape: per-batch distinct (doc_id, gram-hash) pairs from the flat
+    token-hash buffer (:func:`functions.hashing.gram_hashes` — k-1 vector
+    ops, no Python rows); tagged gram-keyed hash exchange (NO broadcast —
+    the eval suite may itself be large); per-bucket vectorized membership
+    (np.isin against the bucket's blocklist grams) emitting per-doc partial
+    counts — each gram lives in exactly one bucket and (doc, gram) pairs
+    are globally distinct (docs are batch-local), so partials sum exactly;
+    final doc-keyed rollup. Hash-vs-string equivalence: the SQL twin joins
+    gram STRINGS; counts agree unless two distinct grams collide in 64 bits
+    (~2^-64 per pair) — the ngram_jaccard_pairs argument.
+    """
+    import polars as pl
+
+    def grams(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            flat, offsets = token_hashes(t[text_col])
+            rows, gh = gram_hashes(flat, offsets, k)
+            ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            tbl = (
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[rows], pa.int64()),
+                        "gram": pa.array(gh.view(np.int64)),
+                    }
+                )
+                .group_by(["doc_id", "gram"])
+                .aggregate([])
+            )
+            h = pl.from_arrow(tbl.select(["gram"])).hash_rows(seed=7).to_numpy()
+            return tbl.append_column(
+                "blk", pa.array(np.full(tbl.num_rows, side, dtype=np.int8))
+            ).append_column(
+                "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+            )
+
+        return fn
+
+    def dirty_counts(g: pd.DataFrame) -> pd.DataFrame:
+        blkg = g.loc[g["blk"] == 1, "gram"].to_numpy()
+        cg = g[g["blk"] == 0]
+        hit = cg[np.isin(cg["gram"].to_numpy(), blkg)]
+        out = (
+            hit.groupby("doc_id", sort=False).size().rename("n_dirty").reset_index()
+        )
+        out["n_dirty"] = out["n_dirty"].astype("int64")
+        return out
+
+    pairs = corpus.map_batches(
+        grams(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        blocklist.map_batches(grams(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    partials = pairs.groupby("bucket").map_groups(
+        dirty_counts, batch_format="pandas"
+    )
+    return hash_bucket_aggregate(
+        partials, ["doc_id"], {"n_dirty": ("n_dirty", "sum")}, num_buckets=8
     )
 
 

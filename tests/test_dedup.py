@@ -182,3 +182,45 @@ GROUP BY 1 HAVING count(*) >= 4 ORDER BY doc_id
     pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
     # the planted overlap is found, for ASCII and non-ASCII carriers alike
     assert {1, 2, 4} <= set(got["doc_id"])
+
+
+def test_ngram_decontaminate_planted_overlap():
+    """Corpus docs sharing a token 5-gram with the blocklist are flagged
+    with their DISTINCT contaminated-gram count; shorter-than-k rows and
+    non-overlapping docs contribute nothing."""
+    import pandas as pd
+    import ray.data
+
+    from doc_quality_check_ray.stages.dedup import ngram_decontaminate
+
+    block = pd.DataFrame(
+        {
+            "doc_id": [100, 101],
+            "text": ["alpha beta gamma delta epsilon zeta", "one two three"],
+        }
+    )
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                # shares both of block doc 100's 5-gram windows
+                "x alpha beta gamma delta epsilon zeta y",
+                # shares exactly one (the trailing window)
+                "q beta gamma delta epsilon zeta",
+                "nothing in common here at all whatsoever today",
+                "one two three",  # < 5 tokens: skipped by the k-gram rule
+                None,
+            ],
+        }
+    )
+    got = (
+        ngram_decontaminate(
+            ray.data.from_pandas(corpus).repartition(2),
+            ray.data.from_pandas(block),
+            k=5,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = pd.DataFrame({"doc_id": [1, 2], "n_dirty": [2, 1]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
