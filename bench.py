@@ -71,6 +71,7 @@ QUERY_NAMES = [
     "v_role_transitions",
     "t_len_quantiles_by_source",
     "d_ngram_decontaminate",
+    "r_shipping_priority",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

@@ -321,3 +321,158 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+SHIP_CUTOFF = datetime.datetime(1995, 3, 15)
+SHIP_SEGMENT = "BUILDING"
+SHIP_TOP_N = 10
+
+
+def q_shipping_priority(sf_dir: str):
+    """Top-10 highest-revenue unshipped orders for one market segment —
+    the classic 3-table join + grouped sum + global top-k (TPC-H Q3 shape).
+
+    Scale design: the segment filter runs on the customer DIMENSION first
+    and only the qualifying custkey set is broadcast (``ray.put`` once,
+    probed per orders batch with ``index_in`` — never a fact-table shuffle
+    for a dimension join); lineitem revenue is pre-aggregated per batch to
+    (orderkey, partial) so only combiner output shuffles; orders and
+    partials meet in an orderkey-bucketed exchange where each bucket joins,
+    finishes the sums, and emits only its LOCAL top-10 (buckets are
+    key-disjoint, so the global top-10 survives the prune); the driver
+    merges ≤ buckets×10 rows. Revenue is exact fixed-point: per-row
+    round(p·(1−d)·10⁴) summed as int64 (identical expression in the SQL
+    twin), so float summation order cannot move the hash.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.rounding import pc_round_half_away
+
+    num_buckets = 32
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    qual = pc.cast(
+        cust.filter(pc.equal(cust["c_mktsegment"], SHIP_SEGMENT))["c_custkey"],
+        pa.int64(),
+    ).combine_chunks()
+    cust_ref = ray.put(qual)
+
+    def _bucketed(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        import numpy as np
+
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(SHIP_CUTOFF)))
+        k = ray.get(cust_ref)
+        t = t.filter(pc.is_valid(pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=k)))
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "o_orderdate": t["o_orderdate"],
+                "rev": pa.nulls(len(key), pa.int64()),
+                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(SHIP_CUTOFF)))
+        rev = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"key": pc.cast(t["l_orderkey"], pa.int64()), "rev": rev})
+            .group_by("key")
+            .aggregate([("rev", "sum")])
+        ).rename_columns(["key", "rev"])
+        return pa.table(
+            {
+                "key": g["key"],
+                "o_orderdate": pa.nulls(g.num_rows, pa.timestamp("us")),
+                "rev": g["rev"],
+                "__side": pa.array(np.zeros(g.num_rows, dtype=np.int8)),
+                "__bucket": _bucketed(g["key"]),
+            }
+        )
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        rev = (
+            g.loc[g["__side"] == 0]
+            .groupby("key")["rev"]
+            .sum()
+            .rename("r")
+            .reset_index()
+        )
+        orders = g.loc[g["__side"] == 1, ["key", "o_orderdate"]]
+        j = orders.merge(rev, on="key")
+        # NaN padding floats the int64 partials; totals are ≪ 2^53 so the
+        # float sum is exact — cast back before the fixed-point division
+        j["revenue"] = j["r"].astype("int64") / 10000.0
+        j = j.sort_values(
+            ["revenue", "o_orderdate", "key"],
+            ascending=[False, True, True],
+            ignore_index=True,
+        ).head(SHIP_TOP_N)
+        return j[["key", "revenue", "o_orderdate"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (
+        orders.union(lineitem)
+        .groupby("__bucket")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["revenue", "o_orderdate", "key"],
+        ascending=[False, True, True],
+        ignore_index=True,
+    ).head(SHIP_TOP_N)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(out["key"].astype("int64")),
+            "revenue": pa.array(out["revenue"].astype("float64")),
+            "o_orderdate": pa.array(out["o_orderdate"]).cast(pa.timestamp("us")),
+        }
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS revenue,
+       o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{SHIP_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{SHIP_CUTOFF:%Y-%m-%d}'
+  AND l.l_shipdate > TIMESTAMP '{SHIP_CUTOFF:%Y-%m-%d}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT {SHIP_TOP_N}
+"""
