@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprints": D.q_fingerprints,
         "t_top_terms": D.q_top_terms,
         "t_bigram_counts": D.q_bigram_counts,
+        "t_pmi_bigrams": D.q_pmi_bigrams,
         "t_two_tier_scores": D.q_two_tier_scores,
         "t_subtoken_counts": D.q_subtoken_counts,
         "t_top_terms_by_source": D.q_top_terms_by_source,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprints": O.sql_fingerprints(),
         "t_top_terms": O.sql_top_terms(),
         "t_bigram_counts": O.sql_bigram_counts(D.BIGRAM_TOP_K),
+        "t_pmi_bigrams": O.sql_pmi_bigrams(D.PMI_TOP_K, D.PMI_MIN_N),
         "d_kmeans_assign": O.sql_kmeans_assign(D.KMEANS_CENTROID_IDS),
         "t_two_tier_scores": O.sql_two_tier_scores(D.TWO_TIER_CUTOFF),
         "t_subtoken_counts": O.sql_subtoken_counts(D.SUBTOKEN_RE2),

@@ -72,6 +72,7 @@ QUERY_NAMES = [
     "t_len_quantiles_by_source",
     "d_ngram_decontaminate",
     "r_shipping_priority",
+    "t_pmi_bigrams",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

@@ -567,6 +567,194 @@ def q_bigram_counts(sf_dir: str, top_k: int = BIGRAM_TOP_K):
     return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
 
 
+PMI_TOP_K = 30
+PMI_MIN_N = 5
+
+
+def q_pmi_bigrams(sf_dir: str, top_k: int = PMI_TOP_K, min_n: int = PMI_MIN_N):
+    """Top-k bigrams by pointwise mutual information — collocation
+    extraction (Church & Hanks 1990), the association-strength companion to
+    the raw-count pass (:func:`q_bigram_counts`). PMI is computed over the
+    bigram table's own marginals: pmi = ln(n·N / (ca·cb)) with ca/cb the
+    left/right marginal counts and N the total bigram count; bigrams with
+    n < min_n are dropped (sparse-count PMI is noise).
+
+    Scale shape: one flat-buffer bigram combiner pass (the q_bigram_counts
+    kernel with the sides kept as columns) → (a,b)-keyed exchange → the
+    distinct-bigram table, materialized ONCE (vocab²-bounded, far smaller
+    than the corpus; it feeds four consumers). Marginals are two more tiny
+    exchanges, joined back by two tagged bucket passes — never broadcast
+    (the vocabulary of a 100 TB corpus is GBs). N folds from per-block
+    sums. The second join pass also scores and prunes an exact local top-k
+    (global top-k ⊆ union of block top-k for any row partition), so the
+    driver merges ≤ blocks×k rows. The ratio n·N/(ca·cb) is evaluated with
+    identical association in both twins — bit-equal doubles — so selection
+    and tie-breaks cannot drift; ln+round carries the t_unigram_logprob
+    argument (libm-vs-DuckDB ulp at a 1e-6 half boundary is the accepted
+    residual risk).
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.rounding import round_half_away
+
+    num_buckets = 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], ""))), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        n = len(flat)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        a, b = flat.slice(0, n - 1), flat.slice(1, n - 1)
+        keep = pc.and_(
+            pc.equal(par.slice(0, n - 1), par.slice(1, n - 1)),
+            pc.and_(pc.not_equal(a, ""), pc.not_equal(b, "")),
+        )
+        g = (
+            pa.table({"a": a, "b": b})
+            .filter(keep)
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["a", "b", "n"])
+        )
+        return g if g.num_rows else empty
+
+    merged = hash_bucket_aggregate(
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    la = hash_bucket_aggregate(merged, ["a"], {"ca": ("n", "sum")}, num_buckets=8)
+    rb = hash_bucket_aggregate(merged, ["b"], {"cb": ("n", "sum")}, num_buckets=8)
+    total = merged.map_batches(
+        lambda t: pa.table({"s": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow",
+    ).take_all()
+    big_n = float(sum(r["s"] for r in total))
+
+    def _bucket(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=13).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_pairs1(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "n": t["n"],
+                "m": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "__b": _bucket(t["a"]),
+            }
+        )
+
+    def tag_la(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": pa.nulls(t.num_rows, pa.string()),
+                "n": pa.nulls(t.num_rows, pa.int64()),
+                "m": t["ca"],
+                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "__b": _bucket(t["a"]),
+            }
+        )
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        marg = g.loc[g["__side"] == 0].set_index("a")["m"]
+        p = g[g["__side"] == 1]
+        out = p[["a", "b"]].copy()
+        out["n"] = p["n"].astype("int64")
+        out["ca"] = p["a"].map(marg).astype("int64")
+        return out
+
+    with_ca = (
+        merged.map_batches(tag_pairs1, batch_format="pyarrow")
+        .union(la.map_batches(tag_la, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(join1, batch_format="pandas")
+    )
+
+    def tag_pairs2(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "n": t["n"],
+                "ca": t["ca"],
+                "m": pa.nulls(t.num_rows, pa.int64()),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "__b": _bucket(t["b"]),
+            }
+        )
+
+    def tag_rb(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.nulls(t.num_rows, pa.string()),
+                "b": t["b"],
+                "n": pa.nulls(t.num_rows, pa.int64()),
+                "ca": pa.nulls(t.num_rows, pa.int64()),
+                "m": t["cb"],
+                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "__b": _bucket(t["b"]),
+            }
+        )
+
+    def join2_score(g: pd.DataFrame) -> pd.DataFrame:
+        marg = g.loc[g["__side"] == 0].set_index("b")["m"]
+        p = g[g["__side"] == 1]
+        p = p[p["n"] >= min_n]
+        n = p["n"].astype("int64").to_numpy()
+        ca = p["ca"].astype("int64").to_numpy().astype("float64")
+        cb = p["b"].map(marg).astype("int64").to_numpy().astype("float64")
+        ratio = (n.astype("float64") * big_n) / (ca * cb)
+        out = pd.DataFrame(
+            {
+                "bigram": p["a"] + " " + p["b"],
+                "n": n,
+                "pmi": round_half_away(np.log(ratio), 6) if len(p) else np.zeros(0),
+            }
+        )
+        return out.sort_values(
+            ["pmi", "bigram"], ascending=[False, True], ignore_index=True
+        ).head(top_k)
+
+    parts = (
+        with_ca.map_batches(tag_pairs2, batch_format="pyarrow")
+        .union(rb.map_batches(tag_rb, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(join2_score, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["pmi", "bigram"], ascending=[False, True], ignore_index=True
+    ).head(top_k)
+    return pa.table(
+        {
+            "bigram": pa.array(out["bigram"], pa.string()),
+            "n": pa.array(out["n"].astype("int64")),
+            "pmi": pa.array(out["pmi"].astype("float64")),
+        }
+    )
+
+
 SUBSTR_K = 16
 SUBSTR_MIN_SHARED = 32
 

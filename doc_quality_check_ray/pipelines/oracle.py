@@ -327,6 +327,32 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT {top_k}
 """
 
 
+def sql_pmi_bigrams(top_k: int = 30, min_n: int = 5) -> str:
+    """Twin of documents.q_pmi_bigrams: PMI over the bigram table's own
+    marginals, ratio evaluated with the engine's association
+    (CAST(n AS DOUBLE)·N) / (CAST(ca AS DOUBLE)·cb) so the doubles are
+    bit-equal before ln+round."""
+    return rf"""
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents
+  WHERE text IS NOT NULL
+), i AS (
+  SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t
+), bc AS (
+  SELECT ts[i] AS a, ts[i + 1] AS b, count(*) AS n
+  FROM i WHERE ts[i] <> '' AND ts[i + 1] <> ''
+  GROUP BY 1, 2
+), la AS (SELECT a, CAST(sum(n) AS BIGINT) AS ca FROM bc GROUP BY a),
+   rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM bc GROUP BY b),
+   tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bc)
+SELECT a || ' ' || b AS bigram, n,
+       round(ln(CAST(n AS DOUBLE) * nn / (CAST(ca AS DOUBLE) * cb)), 6) AS pmi
+FROM bc JOIN la USING (a) JOIN rb USING (b), tot
+WHERE n >= {min_n}
+ORDER BY pmi DESC, bigram LIMIT {top_k}
+"""
+
+
 def sql_embeddings_planted_cte(
     k: int, alpha: float, offset: int, with_label: bool = False
 ) -> str:
