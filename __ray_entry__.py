@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_mix_manifest": D.q_mix_manifest,
         "d_substring_dup_docs": D.q_substring_dup_docs,
         "t_domain_stats": D.q_domain_stats,
+        "t_source_lang_rollup": D.q_source_lang_rollup,
         "t_distinct_terms": D.q_distinct_terms,
         "t_hll_distinct": D.q_hll_distinct,
         "d_bloom_decontaminate": D.q_bloom_decontaminate,
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_pii_redact": O.sql_pii_redact(),
         "t_domain_stats": O.sql_domain_stats(),
+        "t_source_lang_rollup": O.sql_source_lang_rollup(),
         "d_substring_dup_docs": O.sql_substring_dup_docs(
             D.SUBSTR_K, D.SUBSTR_MIN_SHARED
         ),

@@ -73,6 +73,7 @@ QUERY_NAMES = [
     "d_ngram_decontaminate",
     "r_shipping_priority",
     "t_pmi_bigrams",
+    "t_source_lang_rollup",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

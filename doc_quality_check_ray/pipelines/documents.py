@@ -567,6 +567,79 @@ def q_bigram_counts(sf_dir: str, top_k: int = BIGRAM_TOP_K):
     return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
 
 
+def q_source_lang_rollup(sf_dir: str):
+    """Multi-level corpus composition rollup — (source, detected_lang),
+    per-source, per-language, and grand-total doc counts + text volume in
+    one pass (SQL GROUPING SETS; the A5/A9 per-category stats generalized
+    to all marginal levels at once — the dataset-card table every corpus
+    release ships).
+
+    Scale shape: ONE corpus scan computes langid + per-batch (source, lang)
+    combiner partials; the finest level merges in a small keyed exchange
+    and is materialized (|sources|×|langs|-bounded — orders of magnitude
+    below the corpus); the three marginal levels re-aggregate the finest
+    table (tiny exchanges), never rescanning the corpus. Rolled-up rows
+    mark collapsed keys with NULL (DuckDB GROUPING SETS convention; a
+    corpus with genuinely-null sources would need GROUPING() columns to
+    disambiguate — these tables have none)."""
+    import pandas as pd
+
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    banks, priority = dict(_cfg.lang_keyword_banks), _cfg.lang_priority
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = pa.array(ts.detect_language(t["text"], banks, priority), pa.string())
+        ln = pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64())
+        g = (
+            pa.table({"source": t["source"], "detected_lang": lang, "len": ln})
+            .group_by(["source", "detected_lang"])
+            .aggregate([([], "count_all"), ("len", "sum")])
+        )
+        return g.rename_columns(["source", "detected_lang", "n_docs", "sum_len"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    aggs = {"n_docs": ("n_docs", "sum"), "sum_len": ("sum_len", "sum")}
+    finest = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "detected_lang"],
+        aggs,
+        num_buckets=8,
+    ).materialize()
+
+    by_source = hash_bucket_aggregate(finest, ["source"], aggs, num_buckets=4)
+    by_lang = hash_bucket_aggregate(finest, ["detected_lang"], aggs, num_buckets=4)
+
+    # every level is bounded by the finest table's size — driver concat is
+    # the documented finish, not a corpus materialization
+    f = finest.to_pandas()
+    s = by_source.to_pandas()
+    s["detected_lang"] = None
+    lg = by_lang.to_pandas()
+    lg["source"] = None
+    tot = pd.DataFrame(
+        {
+            "source": [None],
+            "detected_lang": [None],
+            "n_docs": [f["n_docs"].sum()],
+            "sum_len": [f["sum_len"].sum()],
+        }
+    )
+    out = pd.concat([f, s, lg, tot], ignore_index=True)[
+        ["source", "detected_lang", "n_docs", "sum_len"]
+    ]
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "detected_lang": pa.array(out["detected_lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype("int64")),
+            "sum_len": pa.array(out["sum_len"].astype("int64")),
+        }
+    )
+
+
 PMI_TOP_K = 30
 PMI_MIN_N = 5
 

@@ -327,6 +327,25 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT {top_k}
 """
 
 
+def sql_source_lang_rollup(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of documents.q_source_lang_rollup: GROUPING SETS over the same
+    langid expression the engine's batch pass evaluates."""
+    expr = ts.sql_detect_language_expr(
+        "text", dict(cfg.lang_keyword_banks), cfg.lang_priority
+    )
+    return f"""
+WITH base AS (
+  SELECT source, {expr} AS detected_lang,
+         length(coalesce(text, '')) AS len
+  FROM documents
+)
+SELECT source, detected_lang, count(*) AS n_docs,
+       CAST(sum(len) AS BIGINT) AS sum_len
+FROM base
+GROUP BY GROUPING SETS ((source, detected_lang), (source), (detected_lang), ())
+"""
+
+
 def sql_pmi_bigrams(top_k: int = 30, min_n: int = 5) -> str:
     """Twin of documents.q_pmi_bigrams: PMI over the bigram table's own
     marginals, ratio evaluated with the engine's association
