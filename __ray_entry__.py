@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_substring_dup_docs": D.q_substring_dup_docs,
         "t_domain_stats": D.q_domain_stats,
         "t_source_lang_rollup": D.q_source_lang_rollup,
+        "t_len_zscores": D.q_len_zscores,
+        "d_label_text_stats": D.q_label_text_stats,
+        "e_cohort_retention": E.q_cohort_retention,
         "t_distinct_terms": D.q_distinct_terms,
         "t_hll_distinct": D.q_hll_distinct,
         "d_bloom_decontaminate": D.q_bloom_decontaminate,
@@ -183,6 +186,9 @@ def oracle_sql() -> dict[str, str]:
         "t_pii_redact": O.sql_pii_redact(),
         "t_domain_stats": O.sql_domain_stats(),
         "t_source_lang_rollup": O.sql_source_lang_rollup(),
+        "t_len_zscores": O.sql_len_zscores(),
+        "d_label_text_stats": O.sql_label_text_stats(),
+        "e_cohort_retention": E.SQL_COHORT_RETENTION,
         "d_substring_dup_docs": O.sql_substring_dup_docs(
             D.SUBSTR_K, D.SUBSTR_MIN_SHARED
         ),

@@ -74,6 +74,9 @@ QUERY_NAMES = [
     "r_shipping_priority",
     "t_pmi_bigrams",
     "t_source_lang_rollup",
+    "t_len_zscores",
+    "d_label_text_stats",
+    "e_cohort_retention",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

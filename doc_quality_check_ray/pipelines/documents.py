@@ -567,6 +567,145 @@ def q_bigram_counts(sf_dir: str, top_k: int = BIGRAM_TOP_K):
     return pa.Table.from_pandas(counts.reset_index(drop=True), preserve_index=False)
 
 
+def q_len_zscores(sf_dir: str):
+    """Per-source z-score normalization of document length — the
+    per-domain score normalization a mixing pipeline applies before
+    cross-source comparison (the A2 broadcast-adjustment pattern over the
+    documents table).
+
+    Scale shape: one per-source integer-moment exchange (n, Σlen, Σlen² —
+    |sources|-bounded) broadcast once via ``ray.put``, then a stateless
+    vectorized normalize pass over the corpus. All aggregates are int64
+    and both twins evaluate the IDENTICAL double expression from them
+    (mean = s1/n, var = (s2 − s1·s1/n)/n — population variance), so the
+    rounded z cannot drift on summation order (no STDDEV builtin on the
+    SQL side for exactly this reason: DuckDB's stable one-pass algorithm
+    differs in ulps).
+    """
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64())
+        sq = pc.multiply(ln, ln)
+        g = (
+            pa.table({"source": t["source"], "l": ln, "q": sq})
+            .group_by("source")
+            .aggregate([([], "count_all"), ("l", "sum"), ("q", "sum")])
+        )
+        return g.rename_columns(["source", "n", "s1", "s2"])
+
+    mom = hash_bucket_aggregate(
+        ds.map_batches(moment_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n": ("n", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
+        num_buckets=4,
+    ).to_pandas()
+    nf = mom["n"].to_numpy().astype("float64")
+    s1 = mom["s1"].to_numpy().astype("float64")
+    s2 = mom["s2"].to_numpy().astype("float64")
+    mean = s1 / nf
+    var = (s2 - s1 * s1 / nf) / nf
+    lut_ref = ray.put(
+        (pa.array(mom["source"], pa.string()), mean, np.sqrt(var))
+    )
+
+    def normalize(t: pa.Table) -> pa.Table:
+        src, m, sd = ray.get(lut_ref)
+        idx = pc.index_in(t["source"], value_set=src).to_numpy(zero_copy_only=False)
+        ln = (
+            pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype("float64")
+        )
+        z = round_half_away((ln - m[idx]) / sd[idx], 6)
+        return pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "z": pa.array(z)}
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_label_text_stats(sf_dir: str):
+    """Per-embedding-cluster text volume: documents ⋈ embeddings on
+    doc_id = vec_id (the two fact tables co-partitioned by id in ONE
+    tagged bucket exchange — neither side broadcast, neither side
+    pre-materialized) followed by a per-label rollup. The cross-modal
+    join every curation pipeline runs to tie cluster structure back to
+    the text it came from."""
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    num_buckets = 16
+
+    def _bucket(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=19).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "id": key,
+                "len": pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()),
+                "label": pa.nulls(len(key), pa.int32()),
+                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
+                "__b": _bucket(key),
+            }
+        )
+
+    def tag_embs(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["vec_id"], pa.int64())
+        return pa.table(
+            {
+                "id": key,
+                "len": pa.nulls(len(key), pa.int64()),
+                "label": pc.cast(t["label"], pa.int32()),
+                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__b": _bucket(key),
+            }
+        )
+
+    def join_rollup(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["__side"] == 0].set_index("id")["label"]
+        d = g[g["__side"] == 1]
+        out = pd.DataFrame({"label": d["id"].map(lab), "len": d["len"]})
+        out = out[out["label"].notna()]
+        r = (
+            out.groupby("label", sort=False)
+            .agg(n_docs=("len", "size"), sum_len=("len", "sum"))
+            .reset_index()
+        )
+        r["label"] = r["label"].astype("int32")
+        r["n_docs"] = r["n_docs"].astype("int64")
+        r["sum_len"] = r["sum_len"].astype("int64")
+        return r
+
+    docs = _docs(sf_dir).map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(tag_embs, batch_format="pyarrow", zero_copy_batch=True)
+    partials = (
+        docs.union(embs).groupby("__b").map_groups(join_rollup, batch_format="pandas")
+    )
+    merged = hash_bucket_aggregate(
+        partials,
+        ["label"],
+        {"n_docs": ("n_docs", "sum"), "sum_len": ("sum_len", "sum")},
+        num_buckets=4,
+    ).to_pandas()
+    merged["label"] = merged["label"].astype("int32")
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def q_source_lang_rollup(sf_dir: str):
     """Multi-level corpus composition rollup — (source, detected_lang),
     per-source, per-language, and grand-total doc counts + text volume in

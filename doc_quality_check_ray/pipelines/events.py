@@ -438,3 +438,106 @@ UNION ALL
 SELECT 'view>click>purchase', count(*) FROM m
 WHERE tv IS NOT NULL AND tc > tv AND tp > tc
 """
+
+
+def q_cohort_retention(sf_dir: str):
+    """Daily cohort-retention triangle: (cohort_day, day_offset, n_users) =
+    distinct users whose FIRST event fell on cohort_day and who were active
+    day_offset days later — the product-analytics retention matrix, built
+    without any per-user driver loop.
+
+    Scale shape: per-batch (user, min-ts) combiner → user-keyed exchange
+    (min merge) yields the cohort table; the event stream meets it in a
+    second user-keyed tagged bucket exchange where each bucket computes
+    DISTINCT (cohort_day, day_offset, user) triples and collapses them to
+    local counts — a user lives in exactly one bucket, so the partial
+    distinct-user counts sum exactly; a final tiny (cohort, offset)
+    exchange merges. Only (user, ts) pairs and day-granular partials
+    shuffle; the raw stream is never co-materialized.
+    """
+    import polars as pl
+
+    num_buckets = 16
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "first_ts"])
+
+    firsts = hash_bucket_aggregate(
+        ds.map_batches(first_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"first_ts": ("first_ts", "min")},
+        num_buckets=num_buckets,
+    )
+
+    def _bucket(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=17).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_firsts(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "user": key,
+                "t": t["first_ts"],
+                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__b": _bucket(key),
+            }
+        )
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "user": key,
+                "t": t["ts"],
+                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
+                "__b": _bucket(key),
+            }
+        )
+
+    def retention(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.loc[g["__side"] == 0].set_index("user")["t"]
+        e = g[g["__side"] == 1]
+        cohort = e["user"].map(f).dt.floor("D")
+        off = (e["t"].dt.floor("D") - cohort).dt.days
+        trip = pd.DataFrame(
+            {"cohort_day": cohort, "day_offset": off, "user": e["user"]}
+        ).drop_duplicates()
+        out = (
+            trip.groupby(["cohort_day", "day_offset"], sort=False, dropna=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        out["day_offset"] = out["day_offset"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    partials = (
+        firsts.map_batches(tag_firsts, batch_format="pyarrow")
+        .union(ds.map_batches(tag_events, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("__b")
+        .map_groups(retention, batch_format="pandas")
+    )
+    return hash_bucket_aggregate(
+        partials,
+        ["cohort_day", "day_offset"],
+        {"n_users": ("n_users", "sum")},
+        num_buckets=4,
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+         AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

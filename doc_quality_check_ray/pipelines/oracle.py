@@ -327,6 +327,36 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT {top_k}
 """
 
 
+def sql_len_zscores() -> str:
+    """Twin of documents.q_len_zscores: identical double expression from the
+    same int64 moments — no STDDEV builtin (its stable one-pass algorithm
+    differs from the two-pass moments in ulps)."""
+    ln = "length(coalesce(text, ''))"
+    return f"""
+WITH m AS (
+  SELECT source, count(*) AS n,
+         CAST(sum({ln}) AS BIGINT) AS s1,
+         CAST(sum(CAST({ln} AS BIGINT) * {ln}) AS BIGINT) AS s2
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       round((CAST(length(coalesce(d.text, '')) AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n), 6) AS z
+FROM documents d JOIN m USING (source)
+"""
+
+
+def sql_label_text_stats() -> str:
+    """Twin of documents.q_label_text_stats: the doc↔embedding equi-join
+    rollup (label stays INTEGER to match the engine's int32)."""
+    return """
+SELECT e.label, count(*) AS n_docs,
+       CAST(sum(length(coalesce(d.text, ''))) AS BIGINT) AS sum_len
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1
+"""
+
+
 def sql_source_lang_rollup(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     """Twin of documents.q_source_lang_rollup: GROUPING SETS over the same
     langid expression the engine's batch pass evaluates."""
