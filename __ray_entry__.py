@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_priority_returns": R.q_priority_returns,
         "r_customer_order_counts": R.q_customer_order_counts,
         "r_shipping_priority": R.q_shipping_priority,
+        "r_top_suppliers": R.q_top_suppliers,
     }
 
 
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "r_priority_returns": R.SQL_PRIORITY_RETURNS,
         "r_customer_order_counts": R.SQL_CUSTOMER_ORDER_COUNTS,
         "r_shipping_priority": R.SQL_SHIPPING_PRIORITY,
+        "r_top_suppliers": R.SQL_TOP_SUPPLIERS,
         "mm_decode": O.sql_mm_decode(),
         "mm_frame_sample": O.sql_mm_frame_sample(),
         "d_chunk_documents": O.sql_chunk_documents(),

@@ -77,6 +77,7 @@ QUERY_NAMES = [
     "t_len_zscores",
     "d_label_text_stats",
     "e_cohort_retention",
+    "r_top_suppliers",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

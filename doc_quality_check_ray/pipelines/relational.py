@@ -461,6 +461,113 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
+TOPSUPP_LO = datetime.datetime(1996, 1, 1)
+TOPSUPP_HI = datetime.datetime(1996, 4, 1)
+
+
+def q_top_suppliers(sf_dir: str):
+    """Suppliers achieving the maximum quarterly revenue — the
+    aggregate → global-scalar → filter shape (TPC-H Q15: a view, its max,
+    and the rows attaining it).
+
+    Scale design: lineitem revenue is pre-aggregated per batch (fixed-point
+    int64 cents×100 — the Q3 exactness argument) and merged in a
+    supplier-keyed exchange; the revenue table (supplier-cardinality, far
+    below the fact table) is materialized once, its max folds from
+    per-block partials, and the winner filter runs distributed against the
+    broadcast scalar; names come from the supplier DIMENSION broadcast the
+    events-by-nation way. Ties all surface (max equality, not top-1).
+    """
+    import numpy as np
+
+    from ..functions.rounding import pc_round_half_away
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(TOPSUPP_LO)),
+                pc.less(t["l_shipdate"], pa.scalar(TOPSUPP_HI)),
+            )
+        )
+        rev = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"s_suppkey": pc.cast(t["l_suppkey"], pa.int64()), "r": rev})
+            .group_by("s_suppkey")
+            .aggregate([("r", "sum")])
+        )
+        return g.rename_columns(["s_suppkey", "r"])
+
+    rev = hash_bucket_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["s_suppkey"],
+        {"r": ("r", "sum")},
+        num_buckets=16,
+    ).materialize()
+
+    maxes = rev.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.max(t["r"]).as_py()], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    best = max((row["m"] for row in maxes if row["m"] is not None), default=None)
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    lut_ref = ray.put(
+        (pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks(),
+         supp["s_name"].combine_chunks())
+    )
+
+    def winners(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["r"], pa.scalar(best, pa.int64())))
+        keys, names = ray.get(lut_ref)
+        nm = pc.take(names, pc.index_in(t["s_suppkey"], value_set=keys))
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_name": nm,
+                "total_revenue": pc.divide(
+                    pc.cast(t["r"], pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        )
+
+    return rev.map_batches(winners, batch_format="pyarrow")
+
+
+SQL_TOP_SUPPLIERS = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS BIGINT) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOPSUPP_LO:%Y-%m-%d}'
+    AND l_shipdate <  TIMESTAMP '{TOPSUPP_HI:%Y-%m-%d}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r / 10000.0 AS total_revenue
+FROM rev JOIN supplier s USING (s_suppkey)
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+
 SQL_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
