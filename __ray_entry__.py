@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_decontaminate": D.q_decontaminate,
         "d_ngram_decontaminate": D.q_ngram_decontaminate,
         "d_dup_components": D.q_dup_components,
+        "d_dup_cluster_sizes": D.q_dup_cluster_sizes,
         "d_dedup_keep": D.q_dedup_keep,
         "d_pack_chunks": D.q_pack_chunks,
         "d_stratified_sample": D.q_stratified_sample,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
             D.SAMPLE_HEX_LT, D.NGRAM_DECON_K
         ),
         "d_dup_components": O.sql_dup_components(),
+        "d_dup_cluster_sizes": O.sql_dup_cluster_sizes(),
         "d_dedup_keep": O.sql_dedup_keep(),
         "d_pack_chunks": O.sql_pack_chunks(D.PACK_CHUNK, D.PACK_CAPACITY),
         "d_stratified_sample": O.sql_stratified_sample(D.STRATIFIED_K),

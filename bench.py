@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "d_label_text_stats",
     "e_cohort_retention",
     "r_top_suppliers",
+    "d_dup_cluster_sizes",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

@@ -1297,6 +1297,46 @@ def q_bloom_decontaminate(sf_dir: str):
     )
 
 
+def q_dup_cluster_sizes(sf_dir: str, threshold: float = 0.25):
+    """Near-dup cluster-size distribution: (cluster_size, n_clusters) over
+    the connected components of the exact n-gram Jaccard graph — the
+    dedup-observability histogram (how much of the corpus collapses, and
+    into how big clumps) a curation run reports next to the dedup itself.
+    Two tiny exchanges over the component table; the corpus never
+    re-shuffles. (When the adaptive gate took the driver path the component
+    table is already driver-sized and the rollup happens in place.)"""
+    comps = q_dup_components(sf_dir, threshold)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": pc.cast(t["sz"], pa.int64()),
+                "n_clusters": pc.cast(t["n_clusters"], pa.int64()),
+            }
+        )
+
+    if isinstance(comps, pa.Table):
+        sizes = (
+            comps.group_by("component_id")
+            .aggregate([([], "count_all")])
+            .rename_columns(["component_id", "sz"])
+        )
+        hist = (
+            sizes.group_by("sz")
+            .aggregate([([], "count_all")])
+            .rename_columns(["sz", "n_clusters"])
+        )
+        return finish(hist)
+
+    sizes = hash_bucket_aggregate(
+        comps, ["component_id"], {"sz": ("doc_id", "count")}, num_buckets=8
+    )
+    hist = hash_bucket_aggregate(
+        sizes, ["sz"], {"n_clusters": ("sz", "count")}, num_buckets=4
+    )
+    return hist.map_batches(finish, batch_format="pyarrow")
+
+
 def q_dup_components(sf_dir: str, threshold: float = 0.25):
     """Duplicate-cluster canonicalization: connected components over the
     exact n-gram Jaccard near-dup graph → (doc_id, component_id = min id in

@@ -794,6 +794,17 @@ SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component_id FROM walk GROUP BY v
 """
 
 
+def sql_dup_cluster_sizes(threshold: float = 0.25) -> str:
+    """Twin of q_dup_cluster_sizes: size histogram over the same recursive
+    component table."""
+    comp = sql_dup_components(threshold)
+    return f"""
+SELECT sz AS cluster_size, count(*) AS n_clusters FROM (
+  SELECT component_id, count(*) AS sz FROM ({comp}) GROUP BY 1
+) GROUP BY 1
+"""
+
+
 def sql_dedup_keep(threshold: float = 0.25) -> str:
     """Twin of q_dedup_keep: corpus minus non-canonical cluster members."""
     comp = sql_dup_components(threshold)
