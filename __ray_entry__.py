@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_heavy_hitters_recall": D.q_heavy_hitters_recall,
         "t_pii_redact": D.q_pii_redact,
         "t_repetition_scores": D.q_repetition_scores,
+        "t_doc_filter_verdicts": D.q_doc_filter_verdicts,
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_inverted_index": D.q_inverted_index,
         "mm_decode": D.q_mm_decode,
@@ -197,6 +198,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_distinct_terms": O.SQL_DISTINCT_TERMS,
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
+        "t_doc_filter_verdicts": O.sql_doc_filter_verdicts(
+            D.FILTER_MIN_TOKENS, D.FILTER_TOP_FRAC
+        ),
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,

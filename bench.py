@@ -79,6 +79,7 @@ QUERY_NAMES = [
     "e_cohort_retention",
     "r_top_suppliers",
     "d_dup_cluster_sizes",
+    "t_doc_filter_verdicts",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

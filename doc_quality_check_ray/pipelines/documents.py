@@ -2089,6 +2089,61 @@ def _doc_token_hashes(t: pa.Table):
     return toks, row_of, n_per_row, ids
 
 
+FILTER_MIN_TOKENS = 16
+FILTER_TOP_FRAC = 0.15
+
+
+def q_doc_filter_verdicts(sf_dir: str):
+    """Composite quality-filter verdict with a first-failing reason per
+    document — the multi-rule gate (C4 side-classifier shape,
+    ``checks/confidence_check.py``) over corpus quality signals: gates in
+    priority order ``empty`` → ``too_short`` (< FILTER_MIN_TOKENS tokens) →
+    ``repetitive`` (top-token fraction > FILTER_TOP_FRAC, the Gopher
+    repetition rule) → ``kept``. The per-doc reason a filter funnel
+    aggregates and a curation UI surfaces.
+
+    One embarrassingly-parallel pass (the repetition lexsort kernel — no
+    exchange); the repetition predicate compares the RAW int/int double
+    ratio, evaluated identically in the SQL twin, so no rounding is needed
+    anywhere."""
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        top = np.zeros(len(n_per_row), dtype=np.int64)
+        if len(toks):
+            order = np.lexsort((toks, row_of))
+            r, v = row_of[order], toks[order]
+            new_run = np.ones(len(r), dtype=bool)
+            new_run[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+            run_ids = np.cumsum(new_run) - 1
+            cnt = np.bincount(run_ids)
+            np.maximum.at(top, r[new_run], cnt)
+        frac = np.divide(
+            top.astype("float64"),
+            n_per_row.astype("float64"),
+            out=np.zeros(len(top)),
+            where=n_per_row > 0,
+        )
+        gate = np.select(
+            [
+                n_per_row == 0,
+                n_per_row < FILTER_MIN_TOKENS,
+                frac > FILTER_TOP_FRAC,
+            ],
+            ["empty", "too_short", "repetitive"],
+            default="kept",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "gate": pa.array(gate.astype(object), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style within-document repetition quality signals (Rae et al.
     2021's repetition filters, public construction): per document,

@@ -561,6 +561,29 @@ FROM top LEFT JOIN bg ON top.doc_id = bg.doc_id
 """
 
 
+def sql_doc_filter_verdicts(min_tokens: int, top_frac: float) -> str:
+    """Twin of documents.q_doc_filter_verdicts: same CASE priority, same
+    raw int/int double ratio for the repetition predicate."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS l
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, unnest(l) AS t FROM tok
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM pos GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN top.doc_id IS NULL THEN 'empty'
+            WHEN top.n < {min_tokens} THEN 'too_short'
+            WHEN top.mc / CAST(top.n AS DOUBLE) > {top_frac} THEN 'repetitive'
+            ELSE 'kept' END AS gate
+FROM documents d LEFT JOIN top USING (doc_id)
+"""
+
+
 SQL_UNIGRAM_LOGPROB = """
 WITH tok AS (
   SELECT doc_id,
