@@ -794,14 +794,15 @@ def q_pmi_bigrams(sf_dir: str, top_k: int = PMI_TOP_K, min_n: int = PMI_MIN_N):
     Scale shape: one flat-buffer bigram combiner pass (the q_bigram_counts
     kernel with the sides kept as columns) → (a,b)-keyed exchange → the
     distinct-bigram table, materialized ONCE (vocab²-bounded, far smaller
-    than the corpus; it feeds four consumers). Marginals are two more tiny
-    exchanges, joined back by two tagged bucket passes — never broadcast
-    (the vocabulary of a 100 TB corpus is GBs). N folds from per-block
-    sums. The second join pass also scores and prunes an exact local top-k
-    (global top-k ⊆ union of block top-k for any row partition), so the
-    driver merges ≤ blocks×k rows. The ratio n·N/(ca·cb) is evaluated with
-    identical association in both twins — bit-equal doubles — so selection
-    and tie-breaks cannot drift; ln+round carries the t_unigram_logprob
+    than the corpus). Marginals need NO extra exchange or broadcast: a
+    bucket exchange keyed on the left token co-locates each left-key group
+    completely, so ca is an in-bucket grouped sum; a second pass keyed on
+    the right token attaches cb the same way, scores, and prunes an exact
+    local top-k (global top-k ⊆ union of block top-k for any row
+    partition), so the driver merges ≤ blocks×k rows. N folds from
+    per-block sums. The ratio n·N/(ca·cb) is evaluated with identical
+    association in both twins — bit-equal doubles — so selection and
+    tie-breaks cannot drift; ln+round carries the t_unigram_logprob
     argument (libm-vs-DuckDB ulp at a 1e-6 half boundary is the accepted
     residual risk).
     """
@@ -852,91 +853,41 @@ def q_pmi_bigrams(sf_dir: str, top_k: int = PMI_TOP_K, min_n: int = PMI_MIN_N):
         num_buckets=num_buckets,
     ).materialize()
 
-    la = hash_bucket_aggregate(merged, ["a"], {"ca": ("n", "sum")}, num_buckets=8)
-    rb = hash_bucket_aggregate(merged, ["b"], {"cb": ("n", "sum")}, num_buckets=8)
     total = merged.map_batches(
         lambda t: pa.table({"s": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64())}),
         batch_format="pyarrow",
     ).take_all()
     big_n = float(sum(r["s"] for r in total))
 
-    def _bucket(keys: pa.Array) -> pa.Array:
-        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=13).to_numpy()
-        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+    def _bucketed_by(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            h = pl.from_arrow(t.select([col])).hash_rows(seed=13).to_numpy()
+            return t.append_column(
+                "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+            )
 
-    def tag_pairs1(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": t["a"],
-                "b": t["b"],
-                "n": t["n"],
-                "m": pa.nulls(t.num_rows, pa.int64()),
-                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                "__b": _bucket(t["a"]),
-            }
-        )
+        return fn
 
-    def tag_la(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": t["a"],
-                "b": pa.nulls(t.num_rows, pa.string()),
-                "n": pa.nulls(t.num_rows, pa.int64()),
-                "m": t["ca"],
-                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "__b": _bucket(t["a"]),
-            }
-        )
-
-    def join1(g: pd.DataFrame) -> pd.DataFrame:
-        marg = g.loc[g["__side"] == 0].set_index("a")["m"]
-        p = g[g["__side"] == 1]
-        out = p[["a", "b"]].copy()
-        out["n"] = p["n"].astype("int64")
-        out["ca"] = p["a"].map(marg).astype("int64")
+    # bucket by LEFT token: each a-group is bucket-complete → ca in place
+    def attach_ca(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["a", "b", "n"]].copy()
+        out["ca"] = g.groupby("a", sort=False)["n"].transform("sum").astype("int64")
         return out
 
     with_ca = (
-        merged.map_batches(tag_pairs1, batch_format="pyarrow")
-        .union(la.map_batches(tag_la, batch_format="pyarrow"))
+        merged.map_batches(_bucketed_by("a"), batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(join1, batch_format="pandas")
+        .map_groups(attach_ca, batch_format="pandas")
     )
 
-    def tag_pairs2(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": t["a"],
-                "b": t["b"],
-                "n": t["n"],
-                "ca": t["ca"],
-                "m": pa.nulls(t.num_rows, pa.int64()),
-                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                "__b": _bucket(t["b"]),
-            }
+    # bucket by RIGHT token: cb in place, then score + exact local top-k
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        cb = g.groupby("b", sort=False)["n"].transform("sum").astype("int64")
+        p = g[g["n"] >= min_n]
+        n = p["n"].to_numpy().astype("int64")
+        ratio = (n.astype("float64") * big_n) / (
+            p["ca"].to_numpy().astype("float64") * cb[p.index].to_numpy().astype("float64")
         )
-
-    def tag_rb(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": pa.nulls(t.num_rows, pa.string()),
-                "b": t["b"],
-                "n": pa.nulls(t.num_rows, pa.int64()),
-                "ca": pa.nulls(t.num_rows, pa.int64()),
-                "m": t["cb"],
-                "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "__b": _bucket(t["b"]),
-            }
-        )
-
-    def join2_score(g: pd.DataFrame) -> pd.DataFrame:
-        marg = g.loc[g["__side"] == 0].set_index("b")["m"]
-        p = g[g["__side"] == 1]
-        p = p[p["n"] >= min_n]
-        n = p["n"].astype("int64").to_numpy()
-        ca = p["ca"].astype("int64").to_numpy().astype("float64")
-        cb = p["b"].map(marg).astype("int64").to_numpy().astype("float64")
-        ratio = (n.astype("float64") * big_n) / (ca * cb)
         out = pd.DataFrame(
             {
                 "bigram": p["a"] + " " + p["b"],
@@ -949,10 +900,9 @@ def q_pmi_bigrams(sf_dir: str, top_k: int = PMI_TOP_K, min_n: int = PMI_MIN_N):
         ).head(top_k)
 
     parts = (
-        with_ca.map_batches(tag_pairs2, batch_format="pyarrow")
-        .union(rb.map_batches(tag_rb, batch_format="pyarrow"))
+        with_ca.map_batches(_bucketed_by("b"), batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(join2_score, batch_format="pandas")
+        .map_groups(score, batch_format="pandas")
         .to_pandas()
     )
     out = parts.sort_values(
