@@ -446,67 +446,42 @@ def q_cohort_retention(sf_dir: str):
     day_offset days later — the product-analytics retention matrix, built
     without any per-user driver loop.
 
-    Scale shape: per-batch (user, min-ts) combiner → user-keyed exchange
-    (min merge) yields the cohort table; the event stream meets it in a
-    second user-keyed tagged bucket exchange where each bucket computes
-    DISTINCT (cohort_day, day_offset, user) triples and collapses them to
-    local counts — a user lives in exactly one bucket, so the partial
-    distinct-user counts sum exactly; a final tiny (cohort, offset)
-    exchange merges. Only (user, ts) pairs and day-granular partials
-    shuffle; the raw stream is never co-materialized.
+    Scale shape: ONE user-keyed exchange — a user's whole history lands in
+    one bucket, so the first-touch cohort is an in-bucket grouped min (no
+    separate cohort-table exchange, no join). The shuffle carries per-batch
+    (user, day, min-ts) combiner partials, not raw events; each bucket
+    re-merges them, derives (cohort_day, day_offset, user) triples —
+    distinct by construction — and collapses to local counts (a user lives
+    in exactly one bucket, so partial distinct-user counts sum exactly);
+    a final tiny (cohort, offset) exchange merges.
     """
     import polars as pl
 
     num_buckets = 16
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def first_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("user_id").aggregate([("ts", "min")])
-        return g.rename_columns(["user_id", "first_ts"])
-
-    firsts = hash_bucket_aggregate(
-        ds.map_batches(first_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["user_id"],
-        {"first_ts": ("first_ts", "min")},
-        num_buckets=num_buckets,
-    )
-
-    def _bucket(keys: pa.Array) -> pa.Array:
-        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=17).to_numpy()
-        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-
-    def tag_firsts(t: pa.Table) -> pa.Table:
-        key = pc.cast(t["user_id"], pa.int64())
-        return pa.table(
-            {
-                "user": key,
-                "t": t["first_ts"],
-                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
-                "__b": _bucket(key),
-            }
-        )
-
-    def tag_events(t: pa.Table) -> pa.Table:
-        key = pc.cast(t["user_id"], pa.int64())
-        return pa.table(
-            {
-                "user": key,
-                "t": t["ts"],
-                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
-                "__b": _bucket(key),
-            }
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = (
+            pa.table(
+                {"user": pc.cast(t["user_id"], pa.int64()), "day": day, "mn": t["ts"]}
+            )
+            .group_by(["user", "day"])
+            .aggregate([("mn", "min")])
+        ).rename_columns(["user", "day", "mn"])
+        h = pl.from_arrow(g.select(["user"])).hash_rows(seed=17).to_numpy()
+        return g.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
 
     def retention(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.loc[g["__side"] == 0].set_index("user")["t"]
-        e = g[g["__side"] == 1]
-        cohort = e["user"].map(f).dt.floor("D")
-        off = (e["t"].dt.floor("D") - cohort).dt.days
-        trip = pd.DataFrame(
-            {"cohort_day": cohort, "day_offset": off, "user": e["user"]}
-        ).drop_duplicates()
+        # re-merge batch partials, then first-touch per user in place
+        gg = g.groupby(["user", "day"], as_index=False)["mn"].min()
+        cohort = gg.groupby("user", sort=False)["mn"].transform("min").dt.floor("D")
+        off = (gg["day"] - cohort).dt.days
         out = (
-            trip.groupby(["cohort_day", "day_offset"], sort=False, dropna=False)
+            pd.DataFrame({"cohort_day": cohort, "day_offset": off})
+            .groupby(["cohort_day", "day_offset"], sort=False, dropna=False)
             .size()
             .rename("n_users")
             .reset_index()
@@ -516,8 +491,7 @@ def q_cohort_retention(sf_dir: str):
         return out
 
     partials = (
-        firsts.map_batches(tag_firsts, batch_format="pyarrow")
-        .union(ds.map_batches(tag_events, batch_format="pyarrow", zero_copy_batch=True))
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(retention, batch_format="pandas")
     )
