@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_domain_stats": D.q_domain_stats,
         "t_source_lang_rollup": D.q_source_lang_rollup,
         "t_len_zscores": D.q_len_zscores,
+        "t_len_percentile_rank": D.q_len_percentile_rank,
         "d_label_text_stats": D.q_label_text_stats,
         "e_cohort_retention": E.q_cohort_retention,
         "t_distinct_terms": D.q_distinct_terms,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "t_domain_stats": O.sql_domain_stats(),
         "t_source_lang_rollup": O.sql_source_lang_rollup(),
         "t_len_zscores": O.sql_len_zscores(),
+        "t_len_percentile_rank": O.sql_len_percentile_rank(),
         "d_label_text_stats": O.sql_label_text_stats(),
         "e_cohort_retention": E.SQL_COHORT_RETENTION,
         "d_substring_dup_docs": O.sql_substring_dup_docs(

@@ -75,6 +75,7 @@ QUERY_NAMES = [
     "t_pmi_bigrams",
     "t_source_lang_rollup",
     "t_len_zscores",
+    "t_len_percentile_rank",
     "d_label_text_stats",
     "e_cohort_retention",
     "r_top_suppliers",

@@ -706,6 +706,53 @@ def q_label_text_stats(sf_dir: str):
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+def q_len_percentile_rank(sf_dir: str):
+    """Per-source percentile rank of document length — the SQL
+    ``percent_rank() OVER (PARTITION BY source ORDER BY length)`` window,
+    the rank-normalization companion to :func:`q_len_zscores`.
+
+    One source-keyed bucket exchange: source groups are bucket-complete, so
+    rank and group size are in-bucket grouped ops (min-rank ties, exactly
+    DuckDB's percent_rank) — no second pass, no broadcast. pct = (rank−1) /
+    (n−1) from small ints on both twins → bit-exact doubles, no rounding;
+    single-row groups are 0.0 by the SQL definition."""
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    num_buckets = 16
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "len": pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()),
+            }
+        )
+        h = pl.from_arrow(g.select(["source"])).hash_rows(seed=23).to_numpy()
+        return g.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def ranker(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("source", sort=False)["len"].rank(method="min")
+        n = g.groupby("source", sort=False)["len"].transform("size")
+        pct = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "source": g["source"], "pct_rank": pct}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(ranker, batch_format="pandas")
+    )
+
+
 def q_source_lang_rollup(sf_dir: str):
     """Multi-level corpus composition rollup — (source, detected_lang),
     per-source, per-language, and grand-total doc counts + text volume in

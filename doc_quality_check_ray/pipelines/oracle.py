@@ -357,6 +357,17 @@ GROUP BY 1
 """
 
 
+def sql_len_percentile_rank() -> str:
+    """Twin of documents.q_len_percentile_rank (min-rank ties, (r−1)/(n−1))."""
+    return """
+SELECT doc_id, source,
+       percent_rank() OVER (
+         PARTITION BY source ORDER BY length(coalesce(text, ''))
+       ) AS pct_rank
+FROM documents
+"""
+
+
 def sql_source_lang_rollup(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
     """Twin of documents.q_source_lang_rollup: GROUPING SETS over the same
     langid expression the engine's batch pass evaluates."""
