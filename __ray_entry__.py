@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_semantic_dedup": D.q_semantic_dedup,
         "d_ivf_knn": D.q_ivf_knn,
         "d_kmeans_assign": D.q_kmeans_assign,
+        "d_kmeans_iter": D.q_kmeans_iter,
         # driver-visible recall of every approximate operator vs its exact twin
         "d_minhash_recall": D.q_minhash_recall,
         "d_simhash_recall": D.q_simhash_recall,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "t_bigram_counts": O.sql_bigram_counts(D.BIGRAM_TOP_K),
         "t_pmi_bigrams": O.sql_pmi_bigrams(D.PMI_TOP_K, D.PMI_MIN_N),
         "d_kmeans_assign": O.sql_kmeans_assign(D.KMEANS_CENTROID_IDS),
+        "d_kmeans_iter": O.sql_kmeans_iter(D.KMEANS_CENTROID_IDS),
         "t_two_tier_scores": O.sql_two_tier_scores(D.TWO_TIER_CUTOFF),
         "t_subtoken_counts": O.sql_subtoken_counts(D.SUBTOKEN_RE2),
         "t_top_terms_by_source": O.sql_top_terms_by_source(),

@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "t_bigram_counts",
     "v_rolling_text_len",
     "d_kmeans_assign",
+    "d_kmeans_iter",
     "e_funnel_counts",
     "r_customer_order_counts",
     "v_role_transitions",

@@ -217,6 +217,16 @@ def q_kmeans_assign(sf_dir: str):
     return kmeans_assign(_embs(sf_dir), KMEANS_CENTROID_IDS)
 
 
+def q_kmeans_iter(sf_dir: str):
+    """One full Lloyd iteration (assign → rounded cluster means → reassign)
+    over the embeddings corpus — iterative distributed k-means as
+    deterministic dataflow, SQL-oracle-exact. See
+    :func:`stages.similarity.kmeans_iterate`."""
+    from ..stages.similarity import kmeans_iterate
+
+    return kmeans_iterate(_embs(sf_dir), KMEANS_CENTROID_IDS)
+
+
 def q_ivf_knn(sf_dir: str):
     """IVF approximate kNN (clustered scale path); recall measured against
     q_knn in tests. No SQL oracle (iterative k-means)."""

@@ -311,6 +311,44 @@ SELECT vec_id, cid AS centroid_id, cos AS cosine FROM r WHERE rn = 1
 """
 
 
+def sql_kmeans_iter(centroid_ids=range(8)) -> str:
+    """Twin of documents.q_kmeans_iter: seeded assignment (round-5 cosine,
+    min-cid ties) → per-cluster rounded(6) raw means reassembled with
+    ``list(cv ORDER BY d)`` → second assignment against the new centroids."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({ids})
+), s1 AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 5) AS cos
+  FROM embeddings e CROSS JOIN c
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM s1
+  ) WHERE rn = 1
+), ex AS (
+  SELECT a1.cid, unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+         unnest(range(0, len(e.embedding))) AS d
+  FROM a1 JOIN embeddings e USING (vec_id)
+), m AS (
+  SELECT cid, d, round(avg(v), 6) AS cv FROM ex GROUP BY 1, 2
+), c2 AS (
+  SELECT cid, list(cv ORDER BY d) AS cv FROM m GROUP BY 1
+), s2 AS (
+  SELECT e.vec_id, c2.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.cv), 5) AS cos
+  FROM embeddings e CROSS JOIN c2
+)
+SELECT vec_id, cid AS centroid_id, cos AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM s2
+) WHERE rn = 1
+"""
+
+
 def sql_bigram_counts(top_k: int = 30) -> str:
     """Twin of documents.q_bigram_counts: adjacent raw-split tokens, both
     sides non-empty, global top-k with (n desc, bigram asc) tie-break."""

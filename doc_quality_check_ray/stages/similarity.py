@@ -460,3 +460,100 @@ def kmeans_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_iterate(
+    ds: ray.data.Dataset,
+    centroid_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """One full Lloyd iteration of distributed k-means: seeded assignment →
+    per-cluster mean recompute → reassignment — the iterative-ML shape
+    expressed as two streaming passes plus one tiny (cid, dim)-keyed
+    exchange (K×dim partials; raw vectors never shuffle; the E-step fuses
+    assignment and partial centroid sums into ONE corpus pass via
+    ``np.add.at``).
+
+    Determinism contract (so the DuckDB twin is exact): cosines round to
+    5 dp before the argmax with ties to the smallest centroid id (the
+    :func:`kmeans_assign` argument, per pass); iteration-2 centroids are the
+    ROUNDED (6 dp) raw-vector means, so both twins re-derive bit-identical
+    inputs for pass 2 (the label-centroids rounding argument absorbs float
+    summation order); empty clusters drop out on both sides. cosine(x, c)
+    is scale-invariant in c, so the engine's unit-normalized dot equals the
+    twin's ``list_cosine_similarity`` against the un-normalized mean.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import hash_bucket_aggregate
+
+    cset = sorted(int(c) for c in centroid_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(cset)))
+
+    ct = pa.concat_tables(
+        list(
+            ds.map_batches(grab, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ),
+        promote_options="default",
+    )
+    order = np.argsort(ct[id_col].to_numpy(zero_copy_only=False))
+    ct = ct.take(pa.array(order))
+    c_ids = ct[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_ref = ray.put((c_ids, _unit(_matrix(ct, vec_col))))
+
+    def estep(t: pa.Table) -> pa.Table:
+        c_ids_, C_ = ray.get(c_ref)
+        raw = _matrix(t, vec_col)
+        sims = round_half_away(_unit(raw) @ C_.T, ROUND)
+        best = sims.max(axis=1, keepdims=True)
+        cid = c_ids_[np.argmax(sims == best, axis=1)]
+        u, inv = np.unique(cid, return_inverse=True)
+        dim = raw.shape[1]
+        s = np.zeros((len(u), dim))
+        np.add.at(s, inv, raw)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.repeat(u, dim)),
+                "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(u))),
+                "s": pa.array(s.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(n, dim), pa.int64()),
+            }
+        )
+
+    merged = (
+        hash_bucket_aggregate(
+            ds.map_batches(estep, batch_format="pyarrow", zero_copy_batch=True),
+            ["cid", "dim_idx"],
+            {"s": ("s", "sum"), "n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["cid", "dim_idx"], ignore_index=True)
+    )
+    new_ids = merged["cid"].unique().astype(np.int64)  # sorted by construction
+    dim = int(merged["dim_idx"].max()) + 1
+    means = round_half_away(
+        merged["s"].to_numpy() / merged["n"].to_numpy(), 6
+    ).reshape(len(new_ids), dim)
+    c2_ref = ray.put((new_ids, _unit(means)))
+
+    def assign2(t: pa.Table) -> pa.Table:
+        c_ids_, C_ = ray.get(c2_ref)
+        sims = round_half_away(_unit(_matrix(t, vec_col)) @ C_.T, ROUND)
+        best = sims.max(axis=1, keepdims=True)
+        cid = c_ids_[np.argmax(sims == best, axis=1)]
+        return pa.table(
+            {
+                "vec_id": pc.cast(t[id_col], pa.int64()),
+                "centroid_id": pa.array(cid, pa.int64()),
+                "cosine": pa.array(best.ravel(), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign2, batch_format="pyarrow", zero_copy_batch=True)
