@@ -117,7 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_rolling_text_len": V.q_rolling_text_len,
         "v_len_outliers": V.q_len_outliers,
         "v_role_transitions": V.q_role_transitions,
+        "v_conversation_texts": V.q_conversation_texts,
         "t_len_quantiles_by_source": V.q_len_quantiles_by_source,
+        "t_longest_docs_by_source": D.q_longest_docs_by_source,
         # event-stream operators
         "e_parse_props": E.q_parse_props,
         "e_user_sessions": E.q_user_sessions,
@@ -227,7 +229,9 @@ def oracle_sql() -> dict[str, str]:
         "v_rolling_text_len": O.sql_rolling_text_len(),
         "v_len_outliers": O.sql_len_outliers(),
         "v_role_transitions": O.sql_role_transitions(),
+        "v_conversation_texts": O.sql_conversation_texts(),
         "t_len_quantiles_by_source": O.sql_len_quantiles_by_source(),
+        "t_longest_docs_by_source": O.sql_longest_docs_by_source(D.TOPDOCS_K),
         "e_parse_props": E.SQL_PARSE_PROPS,
         "e_user_sessions": E.SQL_USER_SESSIONS,
         "e_asof_last_signup": E.SQL_ASOF_LAST_SIGNUP,

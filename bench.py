@@ -70,6 +70,8 @@ QUERY_NAMES = [
     "e_funnel_counts",
     "r_customer_order_counts",
     "v_role_transitions",
+    "v_conversation_texts",
+    "t_longest_docs_by_source",
     "t_len_quantiles_by_source",
     "d_ngram_decontaminate",
     "r_shipping_priority",

@@ -716,6 +716,58 @@ def q_label_text_stats(sf_dir: str):
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+TOPDOCS_K = 3
+
+
+def q_longest_docs_by_source(sf_dir: str, k: int = TOPDOCS_K):
+    """Top-k longest documents per source with their rank — grouped top-k of
+    FULL ROWS (the O-family per-category sample cap carrying payload, not
+    just counts). Source groups are bucket-complete after one keyed
+    exchange, so rank + head(k) are in-bucket ops; the driver never sees
+    more than sources×k rows. Deterministic under ties: (length desc,
+    doc_id asc), the SQL row_number order."""
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    num_buckets = 16
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "text_len": pc.cast(
+                    pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()
+                ),
+            }
+        )
+        h = pl.from_arrow(g.select(["source"])).hash_rows(seed=31).to_numpy()
+        return g.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["source", "text_len", "doc_id"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        g["rn"] = g.groupby("source", sort=False).cumcount() + 1
+        out = g[g["rn"] <= k][["source", "doc_id", "text_len", "rn"]].copy()
+        out["rn"] = out["rn"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def q_len_percentile_rank(sf_dir: str):
     """Per-source percentile rank of document length — the SQL
     ``percent_rank() OVER (PARTITION BY source ORDER BY length)`` window,

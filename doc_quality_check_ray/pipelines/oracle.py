@@ -395,6 +395,35 @@ GROUP BY 1
 """
 
 
+def sql_conversation_texts(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of validate.q_conversation_texts: ordered string_agg (NULL turns
+    skipped; all-null conversations yield NULL)."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id,
+       string_agg(text, ' ' ORDER BY turn_idx, ts) AS full_text
+FROM transcripts GROUP BY conv_id
+"""
+    )
+
+
+def sql_longest_docs_by_source(k: int = 3) -> str:
+    """Twin of documents.q_longest_docs_by_source: row_number top-k per
+    source, (length desc, doc_id) order."""
+    return f"""
+SELECT source, doc_id, text_len, rn FROM (
+  SELECT source, doc_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS text_len,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY length(coalesce(text, '')) DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
 def sql_len_percentile_rank() -> str:
     """Twin of documents.q_len_percentile_rank (min-rank ties, (r−1)/(n−1))."""
     return """

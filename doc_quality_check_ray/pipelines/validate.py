@@ -371,6 +371,53 @@ def q_role_transitions(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     )
 
 
+def q_conversation_texts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Ordered per-conversation text assembly: (conv_id, full_text) with
+    turns joined by one space in stable (turn_idx, ts) order — the
+    build-documents-from-turns step that feeds the corpus dedup/scoring
+    family, and the reference's page→document reconstruction analog.
+
+    Conv-keyed bucket exchange; inside a bucket one mergesort + per-GROUP
+    join (work is per conversation, not per row — the inherent cost of
+    string assembly). Null turns are skipped (SQL string_agg semantics);
+    a conversation whose turns are all null yields NULL full_text on both
+    twins. Duplicate-key tie rows are byte-identical, so tie order cannot
+    change the assembled string.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=29).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+
+        def join(s: pd.Series):
+            vals = s.dropna()
+            return " ".join(vals) if len(vals) else None
+
+        out = (
+            g.groupby("conv_id", sort=False)["text"].agg(join).rename("full_text")
+        )
+        return out.reset_index()
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
 GROUPED_QUANTILES = (0.50, 0.90)
 
 
