@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_redact": D.q_pii_redact,
         "t_repetition_scores": D.q_repetition_scores,
         "t_doc_filter_verdicts": D.q_doc_filter_verdicts,
+        "d_curate_keep": D.q_curate_keep,
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_inverted_index": D.q_inverted_index,
         "mm_decode": D.q_mm_decode,
@@ -206,6 +207,9 @@ def oracle_sql() -> dict[str, str]:
         "t_repetition_scores": O.SQL_REPETITION_SCORES,
         "t_doc_filter_verdicts": O.sql_doc_filter_verdicts(
             D.FILTER_MIN_TOKENS, D.FILTER_TOP_FRAC
+        ),
+        "d_curate_keep": O.sql_curate_keep(
+            D.FILTER_MIN_TOKENS, D.FILTER_TOP_FRAC, D.SAMPLE_HEX_LT
         ),
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),

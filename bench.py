@@ -84,6 +84,7 @@ QUERY_NAMES = [
     "r_top_suppliers",
     "d_dup_cluster_sizes",
     "t_doc_filter_verdicts",
+    "d_curate_keep",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

@@ -2165,42 +2165,74 @@ def q_doc_filter_verdicts(sf_dir: str):
     exchange); the repetition predicate compares the RAW int/int double
     ratio, evaluated identically in the SQL twin, so no rounding is needed
     anywhere."""
-    import numpy as np
 
     def fn(t: pa.Table) -> pa.Table:
-        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
-        top = np.zeros(len(n_per_row), dtype=np.int64)
-        if len(toks):
-            order = np.lexsort((toks, row_of))
-            r, v = row_of[order], toks[order]
-            new_run = np.ones(len(r), dtype=bool)
-            new_run[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
-            run_ids = np.cumsum(new_run) - 1
-            cnt = np.bincount(run_ids)
-            np.maximum.at(top, r[new_run], cnt)
-        frac = np.divide(
-            top.astype("float64"),
-            n_per_row.astype("float64"),
-            out=np.zeros(len(top)),
-            where=n_per_row > 0,
-        )
-        gate = np.select(
-            [
-                n_per_row == 0,
-                n_per_row < FILTER_MIN_TOKENS,
-                frac > FILTER_TOP_FRAC,
-            ],
-            ["empty", "too_short", "repetitive"],
-            default="kept",
-        )
+        gate = filter_gates(t)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "gate": pa.array(gate.astype(object), pa.string()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "gate": gate,
             }
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_curate_keep(sf_dir: str):
+    """The end-to-end curation pipeline's final corpus, driver-verifiable:
+    (doc_id, source) surviving gate → exact keep-first dedup →
+    hash-sample decontamination. Runs :func:`pipelines.curate.run_curation`
+    into a scratch dir (per-shard checkpoints + partitioned final parquet —
+    the resumable write path pytest kills and resumes) and reads the final
+    partition back; the SQL twin composes the same three stages as CTEs."""
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from .curate import run_curation
+
+    out = tempfile.mkdtemp(prefix="dqc_curate_")
+    run_curation(sf_dir, out, resume=False)
+    t = pq_.read_table(f"{out}/final", columns=["doc_id", "source"])
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "source": pc.cast(t["source"], pa.string()),
+        }
+    )
+
+
+def filter_gates(t: pa.Table) -> pa.Array:
+    """The q_doc_filter_verdicts gate kernel, factored for reuse by the
+    curation pipeline: per-row first-failing gate string."""
+    import numpy as np
+
+    toks, row_of, n_per_row, _ids = _doc_token_hashes(t)
+    top = np.zeros(len(n_per_row), dtype=np.int64)
+    if len(toks):
+        order = np.lexsort((toks, row_of))
+        r, v = row_of[order], toks[order]
+        new_run = np.ones(len(r), dtype=bool)
+        new_run[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+        run_ids = np.cumsum(new_run) - 1
+        cnt = np.bincount(run_ids)
+        np.maximum.at(top, r[new_run], cnt)
+    frac = np.divide(
+        top.astype("float64"),
+        n_per_row.astype("float64"),
+        out=np.zeros(len(top)),
+        where=n_per_row > 0,
+    )
+    gate = np.select(
+        [
+            n_per_row == 0,
+            n_per_row < FILTER_MIN_TOKENS,
+            frac > FILTER_TOP_FRAC,
+        ],
+        ["empty", "too_short", "repetitive"],
+        default="kept",
+    )
+    return pa.array(gate.astype(object), pa.string())
 
 
 def q_repetition_scores(sf_dir: str):

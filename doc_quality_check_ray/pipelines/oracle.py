@@ -662,6 +662,41 @@ FROM documents d LEFT JOIN top USING (doc_id)
 """
 
 
+def sql_curate_keep(min_tokens: int, top_frac: float, hex_lt: str) -> str:
+    """Twin of documents.q_curate_keep: the gate ∘ keep-first-dedup ∘
+    decontaminate composition as CTEs (gate CTE identical to
+    sql_doc_filter_verdicts; dedup = row_number min-id per raw-text md5;
+    decontamination = NOT IN the hash-sample's content fingerprints)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS l
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, unnest(l) AS t FROM tok
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM pos GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+), kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN top USING (doc_id)
+  WHERE top.n >= {min_tokens}
+    AND NOT (top.mc / CAST(top.n AS DOUBLE) > {top_frac})
+), dedup AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT doc_id, source FROM dedup
+WHERE md5(text) NOT IN (
+  SELECT md5(text) FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}'
+    AND text IS NOT NULL
+)
+"""
+
+
 SQL_UNIGRAM_LOGPROB = """
 WITH tok AS (
   SELECT doc_id,
