@@ -22,6 +22,12 @@ def main(argv: list[str] | None = None) -> int:
         metavar=("OUT_A", "OUT_B"),
         help="compare two completed runs' per-turn text fingerprints and exit",
     )
+    ap.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the corpus curation pipeline (gate → dedup → decontaminate) "
+        "over a documents parquet dir instead of transcript validation",
+    )
     ap.add_argument("--config", help="ValidationConfig JSON")
     ap.add_argument("--snapshot", help="reference stats snapshot for drift")
     ap.add_argument("--no-resume", action="store_true")
@@ -51,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if res["equal"] else 3
         if not args.input or not args.out:
             ap.error("--input and --out are required (unless --verify-equality)")
+        if args.curate:
+            from .pipelines.curate import run_curation
+
+            summary = run_curation(args.input, args.out, resume=not args.no_resume)
+            print(json.dumps(summary, default=str))
+            return 0
         summary = run_validation(
             args.input,
             args.out,
