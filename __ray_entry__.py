@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_customer_order_counts": R.q_customer_order_counts,
         "r_shipping_priority": R.q_shipping_priority,
         "r_top_suppliers": R.q_top_suppliers,
+        "r_promo_revenue": R.q_promo_revenue,
+        "r_local_supplier_volume": R.q_local_supplier_volume,
     }
 
 
@@ -221,6 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "r_customer_order_counts": R.SQL_CUSTOMER_ORDER_COUNTS,
         "r_shipping_priority": R.SQL_SHIPPING_PRIORITY,
         "r_top_suppliers": R.SQL_TOP_SUPPLIERS,
+        "r_promo_revenue": R.SQL_PROMO_REVENUE,
+        "r_local_supplier_volume": R.SQL_LOCAL_SUPPLIER_VOLUME,
         "mm_decode": O.sql_mm_decode(),
         "mm_frame_sample": O.sql_mm_frame_sample(),
         "d_chunk_documents": O.sql_chunk_documents(),

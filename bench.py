@@ -82,6 +82,8 @@ QUERY_NAMES = [
     "d_label_text_stats",
     "e_cohort_retention",
     "r_top_suppliers",
+    "r_promo_revenue",
+    "r_local_supplier_volume",
     "d_dup_cluster_sizes",
     "t_doc_filter_verdicts",
     "d_curate_keep",

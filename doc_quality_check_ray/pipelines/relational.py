@@ -583,3 +583,280 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT {SHIP_TOP_N}
 """
+
+
+PROMO_LO = datetime.datetime(1996, 1, 1)
+PROMO_HI = datetime.datetime(1996, 4, 1)
+
+
+def q_promo_revenue(sf_dir: str):
+    """Promotion revenue share for one quarter (TPC-H Q14 shape): the
+    fact×dim join whose aggregate is a global ratio scalar.
+
+    Scale design: the part DIMENSION collapses to a partkey→is-promo bit
+    lookup broadcast once; each lineitem batch folds to TWO int64 partials
+    (promo revenue, total revenue — fixed-point ×10⁴, the Q3 exactness
+    argument), so the "shuffle" is O(batches) 16-byte rows. The share is
+    computed from the two global int64 sums with the same expression in
+    both twins — bit-exact."""
+    import numpy as np
+
+    from ..functions.rounding import pc_round_half_away, round_half_away_scalar
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    keys = pc.cast(part["p_partkey"], pa.int64()).combine_chunks()
+    promo = pc.equal(part["p_type"], "PROMO").combine_chunks()
+    lut_ref = ray.put((keys, promo))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(PROMO_LO)),
+                pc.less(t["l_shipdate"], pa.scalar(PROMO_HI)),
+            )
+        )
+        rev = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        k, isp = ray.get(lut_ref)
+        idx = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=k)
+        is_promo = (
+            pc.fill_null(pc.take(isp, idx), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        return pa.table(
+            {
+                "promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    promo_e4 = int(parts["promo"].sum())
+    total_e4 = int(parts["total"].sum())
+    share = round_half_away_scalar(
+        100.0 * float(promo_e4) / float(total_e4), 6
+    )
+    return pa.table(
+        {
+            "promo_revenue": pa.array([promo_e4 / 10000.0], pa.float64()),
+            "total_revenue": pa.array([total_e4 / 10000.0], pa.float64()),
+            "promo_share": pa.array([share], pa.float64()),
+        }
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+WITH r AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{PROMO_LO:%Y-%m-%d}'
+    AND l.l_shipdate <  TIMESTAMP '{PROMO_HI:%Y-%m-%d}'
+), s AS (
+  SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT) AS promo,
+         CAST(sum(rev) AS BIGINT) AS total
+  FROM r
+)
+SELECT promo / 10000.0 AS promo_revenue,
+       total / 10000.0 AS total_revenue,
+       round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) AS promo_share
+FROM s
+"""
+
+
+LOCAL_REGION = "ASIA"
+LOCAL_LO = datetime.datetime(1996, 1, 1)
+LOCAL_HI = datetime.datetime(1997, 1, 1)
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """Per-nation revenue where customer and supplier share the nation, one
+    region, one year (TPC-H Q5 shape) — the six-table join: three dimension
+    hops collapse to broadcast lookups, the two fact tables meet in ONE
+    orderkey-bucketed exchange.
+
+    Scale design: region⋈nation prunes to the target region's nationkeys on
+    the driver (KB); customer and supplier collapse to key→nationkey
+    lookups broadcast once; orders batches pre-filter (date + customer in
+    region) and lineitem batches pre-aggregate is impossible here (the join
+    predicate needs c_nation = s_nation), so lineitem ships (orderkey,
+    s_nation, rev) triples — still fixed-point int64, never text. Each
+    bucket joins locally and emits per-nation partials; the driver merges
+    ≤ buckets×nations rows."""
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.rounding import pc_round_half_away
+
+    num_buckets = 32
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkey = region.filter(pc.equal(region["r_name"], LOCAL_REGION))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkey.combine_chunks()))
+    nat_keys = pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_in = cust.filter(
+        pc.is_in(pc.cast(cust["c_nationkey"], pa.int64()), value_set=nat_keys)
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_in = supp.filter(
+        pc.is_in(pc.cast(supp["s_nationkey"], pa.int64()), value_set=nat_keys)
+    )
+    lut_ref = ray.put(
+        (
+            pc.cast(cust_in["c_custkey"], pa.int64()).combine_chunks(),
+            pc.cast(cust_in["c_nationkey"], pa.int64()).combine_chunks(),
+            pc.cast(supp_in["s_suppkey"], pa.int64()).combine_chunks(),
+            pc.cast(supp_in["s_nationkey"], pa.int64()).combine_chunks(),
+        )
+    )
+
+    def _bucketed(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(LOCAL_LO)),
+                pc.less(t["o_orderdate"], pa.scalar(LOCAL_HI)),
+            )
+        )
+        ck, cn, _, _ = ray.get(lut_ref)
+        idx = pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=ck)
+        c_nat = pc.take(cn, idx)
+        t = t.filter(pc.is_valid(c_nat))
+        c_nat = pc.take(cn, pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=ck))
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(c_nat, pa.int64()),
+                "rev": pa.nulls(len(key), pa.int64()),
+                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        _, _, sk, sn = ray.get(lut_ref)
+        idx = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=sk)
+        s_nat = pc.take(sn, idx)
+        t = t.filter(pc.is_valid(s_nat))
+        s_nat = pc.take(sn, pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=sk))
+        rev = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        )
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(s_nat, pa.int64()),
+                "rev": rev,
+                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def local_join(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g.loc[g["__side"] == 1, ["key", "nat"]]
+        items = g.loc[g["__side"] == 0, ["key", "nat", "rev"]]
+        j = items.merge(orders, on="key", suffixes=("_s", "_c"))
+        j = j[j["nat_s"] == j["nat_c"]]
+        out = (
+            j.groupby("nat_s", sort=False)["rev"]
+            .sum()
+            .rename("rev")
+            .reset_index()
+            .rename(columns={"nat_s": "nat"})
+        )
+        out["nat"] = out["nat"].astype("int64")
+        out["rev"] = out["rev"].astype("int64")
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (
+        orders.union(items)
+        .groupby("__bucket")
+        .map_groups(local_join, batch_format="pandas")
+        .to_pandas()
+    )
+    merged = parts.groupby("nat", as_index=False)["rev"].sum()
+    name_of = dict(
+        zip(nat_keys.to_pylist(), nat_names.to_pylist())
+    )
+    merged["n_name"] = merged["nat"].map(name_of)
+    merged["revenue"] = merged["rev"].astype("int64") / 10000.0
+    merged = merged.sort_values("n_name", ignore_index=True)
+    return pa.table(
+        {
+            "n_name": pa.array(merged["n_name"], pa.string()),
+            "revenue": pa.array(merged["revenue"], pa.float64()),
+        }
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{LOCAL_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{LOCAL_LO:%Y-%m-%d}'
+  AND o.o_orderdate <  TIMESTAMP '{LOCAL_HI:%Y-%m-%d}'
+GROUP BY 1
+"""
