@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_heavy_hitters": D.q_heavy_hitters,
         "t_heavy_hitters_recall": D.q_heavy_hitters_recall,
         "t_pii_redact": D.q_pii_redact,
+        "t_c4_line_filter": D.q_c4_line_filter,
+        "t_unicode_normalize": D.q_unicode_normalize,
+        "t_len_token_corr": D.q_len_token_corr,
+        "d_edit_distance_pairs": D.q_edit_distance_pairs,
         "t_repetition_scores": D.q_repetition_scores,
         "t_doc_filter_verdicts": D.q_doc_filter_verdicts,
         "d_curate_keep": D.q_curate_keep,
@@ -118,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_rolling_text_len": V.q_rolling_text_len,
         "v_len_outliers": V.q_len_outliers,
         "v_role_transitions": V.q_role_transitions,
+        "v_response_latency": V.q_response_latency,
         "v_conversation_texts": V.q_conversation_texts,
         "t_len_quantiles_by_source": V.q_len_quantiles_by_source,
         "t_longest_docs_by_source": D.q_longest_docs_by_source,
@@ -196,6 +201,10 @@ def oracle_sql() -> dict[str, str]:
             D.QUALITY_GATE_Q, seed=D.SPLIT_SEED
         ),
         "t_pii_redact": O.sql_pii_redact(),
+        "t_c4_line_filter": O.sql_c4_line_filter(),
+        "t_unicode_normalize": O.sql_unicode_normalize(),
+        "t_len_token_corr": O.sql_len_token_corr(),
+        "d_edit_distance_pairs": O.sql_edit_distance_pairs(),
         "t_domain_stats": O.sql_domain_stats(),
         "t_source_lang_rollup": O.sql_source_lang_rollup(),
         "t_len_zscores": O.sql_len_zscores(),
@@ -237,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "v_rolling_text_len": O.sql_rolling_text_len(),
         "v_len_outliers": O.sql_len_outliers(),
         "v_role_transitions": O.sql_role_transitions(),
+        "v_response_latency": O.sql_response_latency(),
         "v_conversation_texts": O.sql_conversation_texts(),
         "t_len_quantiles_by_source": O.sql_len_quantiles_by_source(),
         "t_longest_docs_by_source": O.sql_longest_docs_by_source(D.TOPDOCS_K),

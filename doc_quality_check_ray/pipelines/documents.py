@@ -2991,3 +2991,340 @@ def q_chunk_documents(sf_dir: str, chunk_tokens: int = 32):
         )
 
     return _docs(sf_dir).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- corpus cleanup: line filtering, normalization, edit-distance dedup ------
+
+#: C4 line-filter policy (Raffel et al. 2020 §2.2): keep a line iff it has
+#: ≥5 words AND ends in terminal punctuation AND doesn't mention javascript;
+#: drop whole pages containing "lorem ipsum" or a curly brace.
+C4_MIN_WORDS = 5
+C4_TERMINAL_RE = '[.!?"]$'
+
+#: bounded edit-distance near-dup: candidates share a 24-char prefix and a
+#: ±K length band; pairs verified with exact unit-cost Levenshtein ≤ K.
+EDIT_DIST_K = 16
+EDIT_PREFIX_CHARS = 24
+EDIT_PLANT_MOD = 31
+EDIT_PLANT_OFFSET = 1_000_000
+EDIT_PLANT_SUFFIX = " near copy."
+
+#: Unicode nonspacing marks — rows matching this need NFC recompose (RE2 class)
+COMBINING_MARKS_RE = "\\p{Mn}"
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4-style line-level boilerplate filter (Raffel et al. 2020, §2.2 —
+    the cleanup pass behind the C4 corpus): split each document into lines,
+    keep lines with ≥5 words that end in terminal punctuation and don't
+    mention javascript, drop documents containing "lorem ipsum" or a curly
+    brace or with zero kept lines. Emits (doc_id, n_lines, n_kept,
+    clean_text) for surviving documents.
+
+    The synthetic corpus is single-line, so multi-line structure is planted
+    in-query on BOTH twins (the ``q_pii_redact`` pattern): doc_id residues
+    gain a subscribe-bait line, a kept paragraph, a javascript notice, an
+    echoed text line, a lorem-ipsum line and a code line — exercising every
+    rule in both directions.
+
+    Scale shape: embarrassingly parallel one-pass map — split to a list
+    array, per-line predicates as three RE2/substring kernels over the FLAT
+    line array, then one offset-arithmetic list reconstruct + binary_join to
+    reassemble kept lines. No exchange, no Python rows.
+    """
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        i = ids.to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t["text"], "")
+
+        def plant(mask: np.ndarray, s: str):
+            return pc.if_else(pa.array(mask), s, "")
+
+        mtext = pc.binary_join_element_wise(
+            text,
+            plant(i % 3 == 0, "\nclick here to subscribe"),
+            plant(i % 5 == 0, "\nthis paragraph has enough words to pass the gate."),
+            plant(i % 17 == 0, "\nenable javascript to continue reading this page."),
+            pc.if_else(
+                pa.array(i % 7 == 0),
+                pc.binary_join_element_wise("\n", text, " indeed.", ""),
+                "",
+            ),
+            plant(i % 19 == 0, "\nlorem ipsum dolor sit amet consectetur."),
+            plant(i % 23 == 0, "\nfunction() { return 1; }"),
+            "",
+        )
+        lines = pc.split_pattern(mtext, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        n_per_doc = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(n_per_doc, dtype=np.int64)])
+
+        n_words = pc.add(pc.count_substring(flat, " "), 1)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_words, C4_MIN_WORDS),
+                pc.match_substring_regex(flat, C4_TERMINAL_RE),
+            ),
+            pc.invert(pc.match_substring(flat, "javascript")),
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept_cum = np.concatenate([[0], np.cumsum(keep_np, dtype=np.int64)])
+        new_offs = kept_cum[offs]
+        kept_flat = flat.filter(keep)
+        kept_lists = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept_flat)
+        clean = pc.binary_join(kept_lists, "\n")
+        n_kept = np.diff(new_offs)
+
+        doc_keep = pc.and_(
+            pc.and_(
+                pa.array(n_kept >= 1),
+                pc.invert(pc.match_substring(mtext, "lorem ipsum")),
+            ),
+            pc.invert(pc.match_substring(mtext, "{")),
+        )
+        out = pa.table(
+            {
+                "doc_id": ids,
+                "n_lines": pa.array(n_per_doc.astype(np.int64)),
+                "n_kept": pa.array(n_kept.astype(np.int64)),
+                "clean_text": clean,
+            }
+        )
+        return out.filter(doc_keep)
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_unicode_normalize(sf_dir: str):
+    """Unicode NFC normalization — the canonicalization pass a multilingual
+    corpus needs before hashing/dedup (decomposed e+◌́ vs composed é hash
+    differently). Emits (doc_id, len_raw, len_nfc, norm_text).
+
+    Combining sequences are planted in-query on both twins (doc_id % 4 → a
+    decomposed ``cafe´``, % 6 → ``nin~o``); NFC composes them, shrinking the
+    codepoint length.
+
+    Scale shape: a vectorized RE2 prescan over the combining-marks block
+    selects the rows that can change under NFC (a small fraction of any real
+    corpus — exactly the planted quarter here); only that slice runs the
+    C-backed ``unicodedata.normalize``, scattered back with
+    ``replace_with_mask``. Clean rows never leave Arrow. (pyarrow 16's
+    ``utf8_normalize`` is a no-op in this build — verified — so the slice
+    path is also the correct-output path.)
+    """
+    import unicodedata
+
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        i = ids.to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t["text"], "")
+
+        def plant(mask: np.ndarray, s: str):
+            return pc.if_else(pa.array(mask), s, "")
+
+        mtext = pc.binary_join_element_wise(
+            text,
+            plant(i % 4 == 0, " cafe\u0301"),
+            plant(i % 6 == 0, " nin\u0303o"),
+            "",
+        )
+        if isinstance(mtext, pa.ChunkedArray):
+            mtext = mtext.combine_chunks()
+        marked = pc.match_substring_regex(mtext, COMBINING_MARKS_RE)
+        idx = np.flatnonzero(marked.to_numpy(zero_copy_only=False))
+        norm = mtext
+        if len(idx):
+            slice_vals = mtext.take(pa.array(idx)).to_pylist()
+            fixed = pa.array([unicodedata.normalize("NFC", v) for v in slice_vals])
+            norm = pc.replace_with_mask(mtext, marked, fixed)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "len_raw": pc.cast(pc.utf8_length(mtext), pa.int64()),
+                "len_nfc": pc.cast(pc.utf8_length(norm), pa.int64()),
+                "norm_text": norm,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_len_token_corr(sf_dir: str):
+    """Per-source Pearson correlation between document length (chars) and
+    token count — the corpus-health meter that catches a source whose
+    tokenization broke (corr collapses when token counts stop tracking
+    length). Emits (source, n, corr_len_tokens).
+
+    Exactness: per-batch int64 moment partials (n, Σx, Σy, Σxy, Σx², Σy²)
+    per source — a combiner, so only ~6 ints per (batch, source) ever move —
+    merged per source, with the final expression
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))`` written
+    identically on both twins over exact integer moments (Python ints here,
+    BIGINT in DuckDB), so the one float expression is bit-equal. At 10^12
+    rows the merge layer should lift to int128 (DuckDB's HUGEINT does
+    automatically); documented, not needed at bench scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            pc.count_substring(pc.fill_null(t["text"], ""), " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        df = pl.DataFrame(
+            {"source": pl.from_arrow(t["source"].combine_chunks() if isinstance(t["source"], pa.ChunkedArray) else t["source"]), "x": x, "y": y}
+        )
+        agg = df.group_by("source").agg(
+            n=pl.len().cast(pl.Int64),
+            sx=pl.col("x").sum(),
+            sy=pl.col("y").sum(),
+            sxy=(pl.col("x") * pl.col("y")).sum(),
+            sx2=(pl.col("x") * pl.col("x")).sum(),
+            sy2=(pl.col("y") * pl.col("y")).sum(),
+        )
+        return agg.to_arrow()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxy, sx2, sy2 = int(g["sxy"].sum()), int(g["sx2"].sum()), int(g["sy2"].sum())
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sx2 - sx * sx)) * math.sqrt(float(n * sy2 - sy * sy))
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n": pd.array([n], dtype="int64"),
+                "corr_len_tokens": [num / den],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_edit_distance_pairs(sf_dir: str, k: int = EDIT_DIST_K):
+    """Bounded edit-distance near-dup pairs — the dedup class MinHash can't
+    see precisely (shingle overlap is blind to WHERE edits fall; Levenshtein
+    bounds total edits). Candidates = documents sharing a 24-char prefix
+    within a ±K length band (the standard prefix-blocking scheme); each
+    candidate pair is verified with exact unit-cost Levenshtein, emitting
+    (doc_id_a, doc_id_b, dist) for dist ≤ K.
+
+    Plants: doc_id % 31 gains a twin at id+10^6 with ``" near copy."``
+    appended (distance exactly 11, prefix preserved — min corpus doc is 44
+    chars), so the result is nonzero by construction; natural prefix
+    collisions (25 candidate pairs at sf0.01) are verified and rejected.
+
+    Scale shape: prefix-hash bucket exchange (64 buckets) → per-bucket
+    verification. Inside a bucket, pair generation walks equal-prefix runs
+    (bounded by blocking-key frequency, logged assumption of the scheme) and
+    ALL pairs are verified by ONE vectorized DP
+    (``functions/editdist.levenshtein_batch``): numpy rows over a
+    (n_pairs, max_len) matrix — no per-pair Python DP. Candidate count is
+    linear in corpus size for a fixed blocking-key distribution; raw text
+    moves only key-partitioned, never all-to-all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.editdist import levenshtein_batch
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        text = pc.fill_null(t["text"], "")
+        m = pa.array(ids.to_numpy(zero_copy_only=False) % EDIT_PLANT_MOD == 0)
+        twins = pa.table(
+            {
+                "doc_id": pc.add(ids.filter(m), EDIT_PLANT_OFFSET),
+                "text": pc.binary_join_element_wise(
+                    text.filter(m), EDIT_PLANT_SUFFIX, ""
+                ),
+            }
+        )
+        return pa.concat_tables([pa.table({"doc_id": ids, "text": text}), twins])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        pre = pc.utf8_slice_codeunits(t["text"], 0, EDIT_PREFIX_CHARS)
+        if isinstance(pre, pa.ChunkedArray):
+            pre = pre.combine_chunks()
+        h = pl.from_arrow(pa.table({"pre": pre})).hash_rows(seed=11).to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "pre": pre,
+                "n": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pre", "doc_id"], kind="mergesort").reset_index(drop=True)
+        pre = g["pre"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        lens = g["n"].to_numpy()
+        texts = g["text"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(pre[1:] != pre[:-1]) + 1, [len(g)]]
+        )
+        a_idx: list[np.ndarray] = []
+        b_idx: list[np.ndarray] = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sz = hi - lo
+            if sz < 2:
+                continue
+            ia, ib = np.triu_indices(sz, 1)
+            ia, ib = ia + lo, ib + lo
+            band = np.abs(lens[ia] - lens[ib]) <= k
+            a_idx.append(ia[band])
+            b_idx.append(ib[band])
+        if not a_idx:
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.array([], dtype="int64"),
+                    "doc_id_b": pd.array([], dtype="int64"),
+                    "dist": pd.array([], dtype="int64"),
+                }
+            )
+        a = np.concatenate(a_idx)
+        b = np.concatenate(b_idx)
+        dist = levenshtein_batch(list(texts[a]), list(texts[b]))
+        hit = dist <= k
+        return pd.DataFrame(
+            {
+                "doc_id_a": ids[a][hit].astype(np.int64),
+                "doc_id_b": ids[b][hit].astype(np.int64),
+                "dist": dist[hit].astype(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

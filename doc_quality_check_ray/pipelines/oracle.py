@@ -1415,3 +1415,120 @@ SELECT conv_id, CAST(-1 AS INTEGER), 'turn_gap',
               AND count(*) = count(DISTINCT turn_idx))
 """
     )
+
+
+def sql_c4_line_filter() -> str:
+    """Exact twin of ``documents.q_c4_line_filter``: identical planted
+    lines, identical keep predicate (word count = spaces+1, terminal-punct
+    RE2, javascript substring), list_filter preserves line order exactly as
+    the engine's offset-arithmetic reconstruct does."""
+    return """
+WITH m AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'click here to subscribe' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this paragraph has enough words to pass the gate.' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'enable javascript to continue reading this page.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || text || ' indeed.' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'function() { return 1; }' ELSE '' END AS mt
+  FROM documents),
+f AS (
+  SELECT doc_id, mt, string_split(mt, chr(10)) AS ls,
+         list_filter(string_split(mt, chr(10)),
+                     x -> length(x) - length(replace(x, ' ', '')) + 1 >= 5
+                          AND regexp_matches(x, '[.!?"]$')
+                          AND NOT contains(x, 'javascript')) AS kept
+  FROM m)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM f
+WHERE len(kept) >= 1
+  AND NOT contains(mt, 'lorem ipsum')
+  AND NOT contains(mt, '{')
+"""
+
+
+def sql_unicode_normalize() -> str:
+    """Exact twin of ``documents.q_unicode_normalize``: identical decomposed
+    plants built with chr(769)/chr(771); DuckDB nfc_normalize (utf8proc) vs
+    CPython unicodedata NFC agree on the canonical composition; length() and
+    utf8_length both count codepoints."""
+    return """
+WITH m AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' nin' || chr(771) || 'o' ELSE '' END AS mt
+  FROM documents)
+SELECT doc_id,
+       CAST(length(mt) AS BIGINT) AS len_raw,
+       CAST(length(nfc_normalize(mt)) AS BIGINT) AS len_nfc,
+       nfc_normalize(mt) AS norm_text
+FROM m
+"""
+
+
+def sql_len_token_corr() -> str:
+    """Exact twin of ``documents.q_len_token_corr``: integer moments in
+    BIGINT, the single float expression written identically (cast the exact
+    integer numerator/radicands to DOUBLE, two IEEE sqrts, one divide)."""
+    return """
+WITH s AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS y
+  FROM documents),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM s GROUP BY source)
+SELECT source, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr_len_tokens
+FROM a
+"""
+
+
+def sql_edit_distance_pairs(k: int = 16, prefix_chars: int = 24) -> str:
+    """Exact twin of ``documents.q_edit_distance_pairs``: identical planted
+    twins (append-only suffix, prefix preserved), identical blocking
+    (substr(1,24) prefix + ±k length band), DuckDB levenshtein == the
+    engine's vectorized DP (property-tested in tests/test_editdist.py)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near copy.' AS text
+  FROM documents WHERE doc_id % 31 = 0),
+p AS (
+  SELECT doc_id, text, substr(text, 1, {prefix_chars}) AS pre,
+         CAST(length(text) AS BIGINT) AS n
+  FROM d)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+WHERE abs(a.n - b.n) <= {k} AND levenshtein(a.text, b.text) <= {k}
+"""
+
+
+def sql_response_latency(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Exact twin of ``validate.q_response_latency``: lag window ordered by
+    (turn_idx, ts, role) — the engine's mergesort key — all-integer µs."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(ts_us - prev) AS BIGINT) AS total_latency_us,
+       CAST(max(ts_us - prev) AS BIGINT) AS max_latency_us
+FROM (
+  SELECT conv_id, role, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, epoch_us(ts), role) AS prev
+  FROM transcripts)
+WHERE role = 'assistant' AND prev IS NOT NULL
+GROUP BY conv_id
+"""
+    )

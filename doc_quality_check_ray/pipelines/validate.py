@@ -824,3 +824,65 @@ def q_partition_verdicts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) ->
             "passed": pa.array(merged["passed"]),
         }
     )
+
+
+def q_response_latency(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-conversation assistant response latency — the transcript-health
+    meter for agent loops: for every assistant turn, latency = its ``ts``
+    minus the previous turn's ``ts`` in ``turn_idx`` order (any role);
+    aggregated per conversation as (conv_id, n_responses, total_latency_us,
+    max_latency_us). All-integer µs arithmetic — no float drift.
+
+    Ordered-within-group logic via the conv-bucket exchange (the
+    ``q_ts_regressions`` pattern): conversations land whole in a bucket;
+    each bucket sorts once and computes the lag vectorized. Negative
+    latencies (the planted ts regressions) flow through unclamped — they
+    are the signal the ts-monotonicity check reports.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def lat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["conv_id", "turn_idx", "ts_us", "role"], kind="mergesort"
+        )
+        prev = g.groupby("conv_id", sort=False)["ts_us"].shift()
+        mask = (g["role"] == "assistant") & prev.notna()
+        d = pd.DataFrame(
+            {
+                "conv_id": g.loc[mask, "conv_id"],
+                "lat": (g.loc[mask, "ts_us"] - prev[mask]).astype("int64"),
+            }
+        )
+        out = (
+            d.groupby("conv_id", sort=False)["lat"]
+            .agg(n_responses="count", total_latency_us="sum", max_latency_us="max")
+            .reset_index()
+        )
+        for c in ("n_responses", "total_latency_us", "max_latency_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(lat, batch_format="pandas")
+    )
