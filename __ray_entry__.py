@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_unicode_normalize": D.q_unicode_normalize,
         "t_len_token_corr": D.q_len_token_corr,
         "d_edit_distance_pairs": D.q_edit_distance_pairs,
+        "d_bm25_topk": D.q_bm25_topk,
         "t_repetition_scores": D.q_repetition_scores,
         "t_doc_filter_verdicts": D.q_doc_filter_verdicts,
         "d_curate_keep": D.q_curate_keep,
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_len_outliers": V.q_len_outliers,
         "v_role_transitions": V.q_role_transitions,
         "v_response_latency": V.q_response_latency,
+        "v_repost_suppression": V.q_repost_suppression,
         "v_conversation_texts": V.q_conversation_texts,
         "t_len_quantiles_by_source": V.q_len_quantiles_by_source,
         "t_longest_docs_by_source": D.q_longest_docs_by_source,
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "t_unicode_normalize": O.sql_unicode_normalize(),
         "t_len_token_corr": O.sql_len_token_corr(),
         "d_edit_distance_pairs": O.sql_edit_distance_pairs(),
+        "d_bm25_topk": O.sql_bm25_topk(D.BM25_QUERY_TERMS, D.BM25_TOPK),
         "t_domain_stats": O.sql_domain_stats(),
         "t_source_lang_rollup": O.sql_source_lang_rollup(),
         "t_len_zscores": O.sql_len_zscores(),
@@ -247,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "v_len_outliers": O.sql_len_outliers(),
         "v_role_transitions": O.sql_role_transitions(),
         "v_response_latency": O.sql_response_latency(),
+        "v_repost_suppression": O.sql_repost_suppression(),
         "v_conversation_texts": O.sql_conversation_texts(),
         "t_len_quantiles_by_source": O.sql_len_quantiles_by_source(),
         "t_longest_docs_by_source": O.sql_longest_docs_by_source(D.TOPDOCS_K),

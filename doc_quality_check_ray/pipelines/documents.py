@@ -3328,3 +3328,127 @@ def q_edit_distance_pairs(sf_dir: str, k: int = EDIT_DIST_K):
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+# -- BM25 retrieval ----------------------------------------------------------
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERY_TERMS = ["table", "spark", "query", "vector", "slow"]
+
+
+def q_bm25_topk(sf_dir: str, k: int = BM25_TOPK):
+    """BM25 retrieval — top-k documents per query term under Okapi BM25
+    (Robertson & Walker 1994), the inverted-index companion: the standard
+    lexical-retrieval scorer a corpus-curation stack uses for targeted
+    sampling and eval-set mining. Emits (term, doc_id, tf, score).
+
+    ``score = idf · tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))`` with the
+    robust idf ``ln((N−df+0.5)/(df+0.5) + 1)``; k1=1.5, b=0.75. Scores are
+    rounded half-away to 6 decimals on both twins (the house TF-IDF
+    pattern) so libm-vs-DuckDB ``ln`` ulp noise cannot reorder or
+    hash-mismatch; ties on the rounded score break doc_id-ascending.
+
+    Scale shape: pass 1 is a combiner — per batch, per-term df partials plus
+    (n_docs, Σdl) — whose output is O(batches · n_terms) rows, merged at the
+    driver (the ``stats.py`` partials pattern). Pass 2 is embarrassingly
+    parallel and Python-free: flat token hashes, per-term tf via vectorized
+    hash equality + bincount, the one float expression, and a per-batch
+    top-k prune (disjoint docs per batch ⇒ global top-k = top-k of batch
+    winners — the ``t_top_terms`` argument). Only O(batches · terms · k)
+    candidate rows ever reach the driver.
+    """
+    import numpy as np
+    import polars as pl
+
+    from ..functions.rounding import round_half_away
+
+    term_hashes = pl.Series(BM25_QUERY_TERMS).hash(seed=42).to_numpy().astype(np.uint64)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks, row_of, n_per_row, _ = _doc_token_hashes(t)
+        rows = {
+            "term": [],
+            "df": [],
+            "n_docs": [],
+            "sum_dl": [],
+        }
+        for term, th in zip(BM25_QUERY_TERMS, term_hashes):
+            hit_rows = np.unique(row_of[toks == th])
+            rows["term"].append(term)
+            rows["df"].append(len(hit_rows))
+            rows["n_docs"].append(len(t))
+            rows["sum_dl"].append(int(n_per_row.sum()))
+        return pa.table(
+            {
+                "term": pa.array(rows["term"], pa.string()),
+                "df": pa.array(rows["df"], pa.int64()),
+                "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                "sum_dl": pa.array(rows["sum_dl"], pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir)
+    part = docs.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    # n_docs/sum_dl are replicated per term within a batch — divide back out
+    n_terms = len(BM25_QUERY_TERMS)
+    n_docs = int(part["n_docs"].sum()) // n_terms
+    sum_dl = int(part["sum_dl"].sum()) // n_terms
+    df_by_term = part.groupby("term")["df"].sum().to_dict()
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = {
+        term: np.log((n_docs - df_by_term[term] + 0.5) / (df_by_term[term] + 0.5) + 1.0)
+        for term in BM25_QUERY_TERMS
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        dl = n_per_row.astype(np.float64)
+        outs = {"term": [], "doc_id": [], "tf": [], "score": []}
+        for term, th in zip(BM25_QUERY_TERMS, term_hashes):
+            tf_all = np.bincount(row_of[toks == th], minlength=len(ids)).astype(
+                np.int64
+            )
+            hit = np.flatnonzero(tf_all)
+            if len(hit) == 0:
+                continue
+            tf = tf_all[hit].astype(np.float64)
+            sc = round_half_away(
+                idf[term]
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl[hit]) / avgdl)),
+                6,
+            )
+            # per-batch prune: batches hold disjoint docs, so the global
+            # top-k is the top-k of per-batch top-k candidates
+            sel = np.lexsort((ids[hit], -sc))[:k]
+            outs["term"].append(np.full(len(sel), term, dtype=object))
+            outs["doc_id"].append(ids[hit][sel].astype(np.int64))
+            outs["tf"].append(tf_all[hit][sel])
+            outs["score"].append(sc[sel])
+        if not outs["term"]:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate(outs["term"]), pa.string()),
+                "doc_id": pa.array(np.concatenate(outs["doc_id"])),
+                "tf": pa.array(np.concatenate(outs["tf"])),
+                "score": pa.array(np.concatenate(outs["score"])),
+            }
+        )
+
+    cand = docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(
+        ["term", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    return cand.groupby("term", sort=False).head(k).reset_index(drop=True)

@@ -1532,3 +1532,63 @@ WHERE role = 'assistant' AND prev IS NOT NULL
 GROUP BY conv_id
 """
     )
+
+
+def sql_repost_suppression() -> str:
+    """Exact twin of ``validate.q_repost_suppression``: lag over the text
+    partition (the engine partitions on the md5 fingerprint — same grouping
+    absent collisions), identical (ts, conv_id, turn_idx) order, µs ints."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id, turn_idx, CAST(ts_us - prev AS BIGINT) AS gap_us
+FROM (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY text ORDER BY epoch_us(ts), conv_id, turn_idx) AS prev
+  FROM transcripts WHERE text IS NOT NULL AND text <> '')
+WHERE prev IS NOT NULL AND ts_us - prev <= 3600000000
+"""
+    )
+
+
+def sql_bm25_topk(terms: list[str], k: int = 10) -> str:
+    """Exact twin of ``documents.q_bm25_topk``: same tokenization as the
+    other token oracles (trim+lower+split, ''-filtered), every literal in
+    the one float expression cast to DOUBLE so DuckDB's DECIMAL typing can't
+    diverge from numpy float64, round-half-away to 6, row_number ties on
+    doc_id ascending."""
+    term_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents) WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM dl) AS sum_dl),
+q(term) AS (VALUES {term_values}),
+df AS (SELECT token AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks JOIN q ON toks.token = q.term GROUP BY token),
+tf AS (SELECT token AS term, toks.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks JOIN q ON toks.token = q.term GROUP BY token, toks.doc_id),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         round(
+           ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              + CAST(1.0 AS DOUBLE))
+           * (CAST(tf.tf AS DOUBLE) * (CAST(1.5 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+           / (CAST(tf.tf AS DOUBLE)
+              + CAST(1.5 AS DOUBLE)
+                * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                   + (CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE))
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+           6) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT term, doc_id, tf, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+  FROM scored)
+WHERE rk <= {k}
+"""

@@ -886,3 +886,73 @@ def q_response_latency(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         .groupby("bucket")
         .map_groups(lat, batch_format="pandas")
     )
+
+
+#: repost-suppression window: a row whose identical text re-appears within
+#: this many µs of its previous occurrence is a suppressed re-post
+REPOST_WINDOW_US = 3_600_000_000
+
+
+def q_repost_suppression(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Time-windowed duplicate suppression — the crawl/stream dedup rule
+    "drop content re-posted within T of its last occurrence": for every turn
+    whose exact text already appeared within the past hour, emit
+    (conv_id, turn_idx, gap_us). Blank/null texts are exempt (they are the
+    emptiness check's business).
+
+    Scale shape: texts are md5-fingerprinted in the scan (32-byte keys move,
+    never text — the ``d_exact_dedup`` argument: md5 collisions are
+    negligible and the oracle recomputes the same grouping from raw text);
+    fingerprint-bucket exchange, then each bucket sorts its runs once and
+    lags vectorized. Identical shape to ``q_ts_regressions`` with fp instead
+    of conv_id as the partition key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_fingerprints
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        nonblank = pc.and_(
+            pc.is_valid(t["text"]), pc.not_equal(pc.fill_null(t["text"], ""), "")
+        )
+        t = t.filter(nonblank)
+        fp = pa.array(md5_fingerprints(t["text"].to_pylist()), pa.string())
+        h = pl.from_arrow(pa.table({"fp": fp})).hash_rows(seed=11).to_numpy()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "fp": fp,
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def suppress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["fp", "ts_us", "conv_id", "turn_idx"], kind="mergesort"
+        )
+        prev = g.groupby("fp", sort=False)["ts_us"].shift()
+        gap = g["ts_us"] - prev
+        hit = prev.notna() & (gap <= REPOST_WINDOW_US)
+        out = pd.DataFrame(
+            {
+                "conv_id": g.loc[hit, "conv_id"],
+                "turn_idx": g.loc[hit, "turn_idx"],
+                "gap_us": gap[hit].astype("int64"),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(suppress, batch_format="pandas")
+    )
