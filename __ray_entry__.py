@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_role_transitions": V.q_role_transitions,
         "v_response_latency": V.q_response_latency,
         "v_repost_suppression": V.q_repost_suppression,
+        "v_dup_key_resolution": V.q_dup_key_resolution,
         "v_conversation_texts": V.q_conversation_texts,
         "t_len_quantiles_by_source": V.q_len_quantiles_by_source,
         "t_longest_docs_by_source": D.q_longest_docs_by_source,
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_top_suppliers": R.q_top_suppliers,
         "r_promo_revenue": R.q_promo_revenue,
         "r_local_supplier_volume": R.q_local_supplier_volume,
+        "r_nation_trade_volume": R.q_nation_trade_volume,
     }
 
 
@@ -237,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "r_top_suppliers": R.SQL_TOP_SUPPLIERS,
         "r_promo_revenue": R.SQL_PROMO_REVENUE,
         "r_local_supplier_volume": R.SQL_LOCAL_SUPPLIER_VOLUME,
+        "r_nation_trade_volume": R.SQL_NATION_TRADE_VOLUME,
         "mm_decode": O.sql_mm_decode(),
         "mm_frame_sample": O.sql_mm_frame_sample(),
         "d_chunk_documents": O.sql_chunk_documents(),
@@ -251,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "v_role_transitions": O.sql_role_transitions(),
         "v_response_latency": O.sql_response_latency(),
         "v_repost_suppression": O.sql_repost_suppression(),
+        "v_dup_key_resolution": O.sql_dup_key_resolution(),
         "v_conversation_texts": O.sql_conversation_texts(),
         "t_len_quantiles_by_source": O.sql_len_quantiles_by_source(),
         "t_longest_docs_by_source": O.sql_longest_docs_by_source(D.TOPDOCS_K),

@@ -87,6 +87,13 @@ QUERY_NAMES = [
     "d_dup_cluster_sizes",
     "t_doc_filter_verdicts",
     "d_curate_keep",
+    "t_c4_line_filter",
+    "d_edit_distance_pairs",
+    "d_bm25_topk",
+    "v_repost_suppression",
+    "v_dup_key_resolution",
+    "r_nation_trade_volume",
+    "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",
     "e_sliding_event_counts",

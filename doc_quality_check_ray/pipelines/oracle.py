@@ -1592,3 +1592,23 @@ SELECT term, doc_id, tf, score FROM (
   FROM scored)
 WHERE rk <= {k}
 """
+
+
+def sql_dup_key_resolution(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Exact twin of ``validate.q_dup_key_resolution``: row_number under the
+    identical null-free ordering (µs ints, ''-coalesced strings)."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id, turn_idx, role, ts_us, n_candidates FROM (
+  SELECT conv_id, turn_idx, coalesce(role, '') AS role, epoch_us(ts) AS ts_us,
+         CAST(count(*) OVER (PARTITION BY conv_id, turn_idx) AS BIGINT)
+           AS n_candidates,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY epoch_us(ts) DESC, length(coalesce(text, '')) DESC,
+                    coalesce(role, ''), coalesce(text, '')) AS rk
+  FROM transcripts)
+WHERE rk = 1 AND n_candidates > 1
+"""
+    )

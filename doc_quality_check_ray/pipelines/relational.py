@@ -860,3 +860,215 @@ WHERE r.r_name = '{LOCAL_REGION}'
   AND o.o_orderdate <  TIMESTAMP '{LOCAL_HI:%Y-%m-%d}'
 GROUP BY 1
 """
+
+
+# -- Q7 shape: volume shipping between two nations ---------------------------
+
+TRADE_NATION_A = "NATION_18"
+TRADE_NATION_B = "NATION_19"
+TRADE_LO = datetime.datetime(1996, 1, 1)
+TRADE_HI = datetime.datetime(1998, 1, 1)
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """Bilateral shipping volume by year between two nations (TPC-H Q7
+    shape): revenue of lineitems shipped in the window where the supplier
+    sits in one target nation and the ordering customer in the other,
+    grouped by (supp_nation, cust_nation, year).
+
+    Scale design (the Q5 pattern, ``q_local_supplier_volume``): the two
+    nation keys prune customer and supplier to key→nationkey lookups
+    broadcast once via ``ray.put``; orders ships (orderkey, cust_nat) pairs
+    and lineitem ships (orderkey, supp_nat, year, rev) fixed-point int64
+    quads; the facts meet in ONE orderkey-bucketed exchange, each bucket
+    joins locally, filters to cross-nation pairs, and emits per-(pair, year)
+    partials — the driver merges ≤ buckets × 2 × years rows.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.rounding import pc_round_half_away
+
+    num_buckets = 32
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat2 = nation.filter(
+        pc.is_in(
+            nation["n_name"],
+            value_set=pa.array([TRADE_NATION_A, TRADE_NATION_B]),
+        )
+    )
+    nat_keys = pc.cast(nat2["n_nationkey"], pa.int64()).combine_chunks()
+    name_of = dict(
+        zip(nat_keys.to_pylist(), nat2["n_name"].combine_chunks().to_pylist())
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_in = cust.filter(
+        pc.is_in(pc.cast(cust["c_nationkey"], pa.int64()), value_set=nat_keys)
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_in = supp.filter(
+        pc.is_in(pc.cast(supp["s_nationkey"], pa.int64()), value_set=nat_keys)
+    )
+    lut_ref = ray.put(
+        (
+            pc.cast(cust_in["c_custkey"], pa.int64()).combine_chunks(),
+            pc.cast(cust_in["c_nationkey"], pa.int64()).combine_chunks(),
+            pc.cast(supp_in["s_suppkey"], pa.int64()).combine_chunks(),
+            pc.cast(supp_in["s_nationkey"], pa.int64()).combine_chunks(),
+        )
+    )
+
+    def _bucketed(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ck, cn, _, _ = ray.get(lut_ref)
+        idx = pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=ck)
+        c_nat = pc.take(cn, idx)
+        t = t.filter(pc.is_valid(c_nat))
+        c_nat = pc.take(
+            cn, pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=ck)
+        )
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        z = pa.nulls(len(key), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(c_nat, pa.int64()),
+                "yr": z,
+                "rev": z,
+                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(TRADE_LO)),
+                pc.less(t["l_shipdate"], pa.scalar(TRADE_HI)),
+            )
+        )
+        _, _, sk, sn = ray.get(lut_ref)
+        idx = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=sk)
+        s_nat = pc.take(sn, idx)
+        t = t.filter(pc.is_valid(s_nat))
+        s_nat = pc.take(
+            sn, pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), value_set=sk)
+        )
+        rev = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        )
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(s_nat, pa.int64()),
+                "yr": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev": rev,
+                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def local_join(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g.loc[g["__side"] == 1, ["key", "nat"]]
+        items = g.loc[g["__side"] == 0, ["key", "nat", "yr", "rev"]]
+        j = items.merge(orders, on="key", suffixes=("_s", "_c"))
+        j = j[j["nat_s"] != j["nat_c"]]
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "nat_s": pd.array([], dtype="int64"),
+                    "nat_c": pd.array([], dtype="int64"),
+                    "yr": pd.array([], dtype="int64"),
+                    "rev": pd.array([], dtype="int64"),
+                }
+            )
+        out = (
+            j.groupby(["nat_s", "nat_c", "yr"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        for c in ("nat_s", "nat_c", "yr", "rev"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (
+        orders.union(items)
+        .groupby("__bucket")
+        .map_groups(local_join, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+            }
+        )
+    merged = parts.groupby(["nat_s", "nat_c", "yr"], as_index=False)["rev"].sum()
+    merged["supp_nation"] = merged["nat_s"].map(name_of)
+    merged["cust_nation"] = merged["nat_c"].map(name_of)
+    merged["revenue"] = merged["rev"].astype("int64") / 10000.0
+    merged = merged.sort_values(
+        ["supp_nation", "cust_nation", "yr"], ignore_index=True
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array(merged["supp_nation"], pa.string()),
+            "cust_nation": pa.array(merged["cust_nation"], pa.string()),
+            "l_year": pa.array(merged["yr"], pa.int64()),
+            "revenue": pa.array(merged["revenue"], pa.float64()),
+        }
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT n2.n_name AS supp_nation,
+       n1.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
+    OR (n1.n_name = '{TRADE_NATION_B}' AND n2.n_name = '{TRADE_NATION_A}'))
+  AND l.l_shipdate >= TIMESTAMP '{TRADE_LO:%Y-%m-%d}'
+  AND l.l_shipdate <  TIMESTAMP '{TRADE_HI:%Y-%m-%d}'
+GROUP BY 1, 2, 3
+"""

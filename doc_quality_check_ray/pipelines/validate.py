@@ -956,3 +956,75 @@ def q_repost_suppression(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         .groupby("bucket")
         .map_groups(suppress, batch_format="pandas")
     )
+
+
+def q_dup_key_resolution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Duplicate-key resolution (upsert compaction) — not just FINDING the
+    planted duplicate (conv_id, turn_idx) keys but picking the winning row
+    per key under a deterministic policy: latest ``ts``, then longest text,
+    then role/text ascending. Emits (conv_id, turn_idx, role, ts_us,
+    n_candidates) for every resolved multi-row key — what a compaction job
+    would keep.
+
+    Null-free total order: ts is µs int64, text/role are coalesced to ''
+    on BOTH twins, so no null-ordering semantics can diverge. Conv-bucket
+    exchange (conversations land whole); each bucket sorts once and takes
+    the per-key head vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        text = pc.fill_null(t["text"], "")
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": pc.fill_null(t["role"], ""),
+                "text": text,
+                "text_len": pc.cast(pc.utf8_length(text), pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(["conv_id", "turn_idx"], sort=False)[
+            "ts_us"
+        ].transform("size")
+        g = g[counts > 1].copy()
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.array([], dtype="object"),
+                    "turn_idx": pd.array([], dtype="int32"),
+                    "role": pd.array([], dtype="object"),
+                    "ts_us": pd.array([], dtype="int64"),
+                    "n_candidates": pd.array([], dtype="int64"),
+                }
+            )
+        g["n_candidates"] = (
+            g.groupby(["conv_id", "turn_idx"], sort=False)["ts_us"]
+            .transform("size")
+            .astype("int64")
+        )
+        g = g.sort_values(
+            ["conv_id", "turn_idx", "ts_us", "text_len", "role", "text"],
+            ascending=[True, True, False, False, True, True],
+            kind="mergesort",
+        )
+        win = g.groupby(["conv_id", "turn_idx"], sort=False, as_index=False).head(1)
+        return win[["conv_id", "turn_idx", "role", "ts_us", "n_candidates"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
