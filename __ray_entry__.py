@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dedup_keep": D.q_dedup_keep,
         "d_pack_chunks": D.q_pack_chunks,
         "d_stratified_sample": D.q_stratified_sample,
+        "d_cluster_balanced_sample": D.q_cluster_balanced_sample,
         "d_quantize_embeddings": D.q_quantize_embeddings,
         "t_token_entropy": D.q_token_entropy,
         "t_tfidf_top_terms": D.q_tfidf_top_terms,
@@ -109,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_doc_filter_verdicts": D.q_doc_filter_verdicts,
         "d_curate_keep": D.q_curate_keep,
         "t_unigram_logprob": D.q_unigram_logprob,
+        "t_bigram_logprob": D.q_bigram_logprob,
+        "t_oov_rate": D.q_oov_rate,
         "t_inverted_index": D.q_inverted_index,
         "mm_decode": D.q_mm_decode,
         "mm_frame_sample": D.q_mm_frame_sample,
@@ -191,6 +194,9 @@ def oracle_sql() -> dict[str, str]:
         "d_dedup_keep": O.sql_dedup_keep(),
         "d_pack_chunks": O.sql_pack_chunks(D.PACK_CHUNK, D.PACK_CAPACITY),
         "d_stratified_sample": O.sql_stratified_sample(D.STRATIFIED_K),
+        "d_cluster_balanced_sample": O.sql_cluster_balanced_sample(
+            D.KMEANS_CENTROID_IDS, D.CLUSTER_SAMPLE_K
+        ),
         "d_quantize_embeddings": O.sql_quantize_embeddings(),
         "t_token_entropy": O.sql_token_entropy(),
         "t_tfidf_top_terms": O.sql_tfidf_top_terms(D.TFIDF_K),
@@ -228,6 +234,8 @@ def oracle_sql() -> dict[str, str]:
             D.FILTER_MIN_TOKENS, D.FILTER_TOP_FRAC, D.SAMPLE_HEX_LT
         ),
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
+        "t_bigram_logprob": O.SQL_BIGRAM_LOGPROB,
+        "t_oov_rate": O.sql_oov_rate(D.OOV_VOCAB_V),
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
         "e_sliding_event_counts": E.SQL_SLIDING_EVENT_COUNTS,

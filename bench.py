@@ -93,6 +93,9 @@ QUERY_NAMES = [
     "v_repost_suppression",
     "v_dup_key_resolution",
     "r_nation_trade_volume",
+    "t_bigram_logprob",
+    "d_cluster_balanced_sample",
+    "t_oov_rate",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

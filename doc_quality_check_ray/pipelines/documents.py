@@ -3452,3 +3452,241 @@ def q_bm25_topk(sf_dir: str, k: int = BM25_TOPK):
         ["term", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
     )
     return cand.groupby("term", sort=False).head(k).reset_index(drop=True)
+
+
+#: odd multiplier for combining adjacent token hashes into a bigram key
+BIGRAM_HASH_MULT = 0x9E3779B97F4A7C15
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Bigram-LM cross-entropy scoring — the next step up from
+    ``t_unigram_logprob`` toward CCNet's n-gram LM filter (Wenzek et al.
+    2020): per document, ``xent = mean(-ln(c(w1,w2) / c_hist(w1)))`` over
+    its adjacent token pairs, where ``c_hist(w1)`` counts w1 as a bigram
+    history (so conditionals per history sum to 1 — textbook bigram MLE).
+    Low = stereotypical word order, high = unusual transitions. Emits
+    (doc_id, n_bigrams, xent) for documents with ≥ 2 tokens.
+
+    Scale shape: per-batch partial bigram counts keyed by (h1, h2) token
+    hashes → one hash-bucket exchange → the distinct-bigram table (≪ corpus,
+    vocab²-bounded) pulled once, history marginals derived from it by a
+    driver-side groupby (the PMI pattern), both broadcast via ``ray.put`` as
+    sorted key arrays; the scoring pass is exchange-free searchsorted +
+    segmented mean. Hash-combined bigram keys equal string-pair grouping
+    absent uint64 collisions (the house md5 argument).
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    from ..functions.rounding import round_half_away
+
+    mult = np.uint64(BIGRAM_HASH_MULT)
+
+    def _bigrams(t: pa.Table):
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        if len(toks) == 0:
+            return (
+                np.zeros(0, np.uint64),
+                np.zeros(0, np.uint64),
+                np.zeros(0, np.int64),
+                n_per_row,
+                ids,
+            )
+        adj = (len(toks) > 1) and True
+        same_row = row_of[1:] == row_of[:-1]
+        h1, h2 = toks[:-1][same_row], toks[1:][same_row]
+        brow = row_of[:-1][same_row]
+        return h1, h2, brow, n_per_row, ids
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        h1, h2, _, _, _ = _bigrams(t)
+        key = np.stack([h1, h2], axis=1)
+        if len(h1):
+            uniq, counts = np.unique(key, axis=0, return_counts=True)
+        else:
+            uniq = np.zeros((0, 2), np.uint64)
+            counts = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(uniq[:, 0], pa.uint64()),
+                "h2": pa.array(uniq[:, 1], pa.uint64()),
+                "c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    docs = _docs(sf_dir)
+    lm = hash_bucket_aggregate(
+        docs.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["h1", "h2"],
+        {"c": ("c", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    bh1 = lm["h1"].to_numpy().astype(np.uint64)
+    bh2 = lm["h2"].to_numpy().astype(np.uint64)
+    cb = lm["c"].to_numpy().astype(np.float64)
+    combined = bh1 * mult + bh2
+    order = np.argsort(combined)
+    combined, cb_sorted = combined[order], cb[order]
+    # history marginals from the distinct-bigram table (PMI pattern)
+    hist = lm.groupby("h1", sort=False)["c"].sum()
+    hh = hist.index.to_numpy().astype(np.uint64)
+    ch = hist.to_numpy().astype(np.float64)
+    horder = np.argsort(hh)
+    hh, ch = hh[horder], ch[horder]
+    lm_ref = _ray.put((combined, cb_sorted, hh, ch))
+
+    def score(t: pa.Table) -> pa.Table:
+        comb_b, cb_b, hh_b, ch_b = _ray.get(lm_ref)
+        h1, h2, brow, n_per_row, ids = _bigrams(t)
+        nb = np.bincount(brow, minlength=len(n_per_row)).astype(np.int64)
+        present = np.flatnonzero(nb > 0)
+        s = np.zeros(len(n_per_row), dtype=np.float64)
+        if len(h1):
+            lp = np.log(
+                cb_b[np.searchsorted(comb_b, h1 * mult + h2)]
+                / ch_b[np.searchsorted(hh_b, h1)]
+            )
+            np.add.at(s, brow, lp)
+        xent = -s[present] / nb[present]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_bigrams": pa.array(nb[present]),
+                "xent": pa.array(round_half_away(xent, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CLUSTER_SAMPLE_K = 16
+
+
+def q_cluster_balanced_sample(sf_dir: str, k: int = CLUSTER_SAMPLE_K):
+    """Cluster-balanced diversity sampling — the SemDeDup/DoReMi-style
+    curation draw: assign every embedding to its nearest centroid
+    (``q_kmeans_assign``) and take a fixed quota of ``k`` vectors per
+    cluster by deterministic md5 order, so the sample covers embedding
+    space instead of mirroring its density. Emits (centroid_id, vec_id).
+
+    Scale shape: the assignment pass is the broadcast-centroid scorer (no
+    exchange); sampling reuses the stratified-quota pattern with the
+    centroid as the stratum — per-batch per-cluster k-smallest prune (a
+    global per-cluster top-k member is top-k in its batch too), a
+    centroid-keyed exchange over O(batches · clusters · k) pruned rows, and
+    a per-cluster merge. Raw vectors never shuffle; only (vec_id, digest)
+    pairs move.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_digests_short, _POW10
+    from ..stages.similarity import kmeans_assign
+
+    assigned = kmeans_assign(_embs(sf_dir), KMEANS_CENTROID_IDS).select_columns(
+        ["vec_id", "centroid_id"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        nd = np.maximum(np.searchsorted(_POW10, ids, side="right"), 1).astype(np.int64)
+        msgs = np.zeros((len(ids), 64), dtype=np.uint8)
+        for j in range(int(nd.max()) if len(nd) else 0):
+            e = np.clip(nd - 1 - j, 0, 19)
+            digit = (ids // _POW10[e]) % np.uint64(10)
+            np.copyto(msgs[:, j], (48 + digit).astype(np.uint8), where=(j < nd))
+        dg = md5_digests_short(msgs, nd)
+        hi = dg[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        lo = dg[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+        df = pd.DataFrame(
+            {
+                "centroid_id": t["centroid_id"].to_numpy(zero_copy_only=False),
+                "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
+                "hi": hi,
+                "lo": lo,
+            }
+        )
+        df = df.sort_values(["hi", "lo", "vec_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("centroid_id", sort=False).head(k), preserve_index=False
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["centroid_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(8)).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hi", "lo", "vec_id"], kind="mergesort")
+        out = g.groupby("centroid_id", sort=False).head(k)
+        out = out[["centroid_id", "vec_id"]].sort_values(
+            ["centroid_id", "vec_id"], ignore_index=True
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        assigned.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+OOV_VOCAB_V = 20
+
+
+def q_oov_rate(sf_dir: str, v: int = OOV_VOCAB_V):
+    """Tokenizer vocabulary coverage — per document, the fraction of tokens
+    OUTSIDE the corpus top-V vocabulary (the OOV-rate meter that predicts
+    tokenizer fertility blowups and flags off-distribution documents before
+    training). Emits (doc_id, n_tokens, oov_rate) for non-blank documents.
+
+    Scale shape: the top-V vocabulary is the exact ``q_top_terms`` path
+    (per-batch combiner → token-keyed exchange → per-block exact top-k
+    prune → ≤ V·blocks driver rows); the V winning strings are re-hashed
+    with the scoring hash and broadcast via ``ray.put`` (V·8 bytes); the
+    scoring pass is exchange-free — vectorized membership against the
+    sorted hash set + segmented mean.
+    """
+    import numpy as np
+    import polars as pl
+
+    import ray as _ray
+
+    from ..functions.rounding import round_half_away
+
+    vocab_tbl = q_top_terms(sf_dir, top_k=v)
+    vh = np.sort(
+        pl.Series(vocab_tbl["token"].to_pylist())
+        .hash(seed=42)
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    vh_ref = _ray.put(vh)
+
+    def score(t: pa.Table) -> pa.Table:
+        vh_b = _ray.get(vh_ref)
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        present = np.flatnonzero(n_per_row > 0)
+        oov = np.zeros(len(n_per_row), dtype=np.float64)
+        if len(toks):
+            pos = np.searchsorted(vh_b, toks)
+            pos = np.minimum(pos, len(vh_b) - 1)
+            is_oov = (vh_b[pos] != toks).astype(np.float64)
+            np.add.at(oov, row_of, is_oov)
+        rate = oov[present] / n_per_row[present]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_tokens": pa.array(n_per_row[present]),
+                "oov_rate": pa.array(round_half_away(rate, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

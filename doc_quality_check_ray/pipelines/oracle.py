@@ -1612,3 +1612,74 @@ SELECT conv_id, turn_idx, role, ts_us, n_candidates FROM (
 WHERE rk = 1 AND n_candidates > 1
 """
     )
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ts
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), i AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t)
+), hist AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS ch FROM i GROUP BY 1
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM i GROUP BY 1, 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(cb / CAST(ch AS DOUBLE))), 6) AS xent
+FROM i JOIN big USING (w1, w2) JOIN hist USING (w1)
+GROUP BY doc_id
+"""
+
+
+def sql_cluster_balanced_sample(centroid_ids=range(8), k: int = 16) -> str:
+    """Twin of ``documents.q_cluster_balanced_sample``: the kmeans-assign
+    CTE composed with a per-cluster md5-order quota (the stratified-sample
+    pattern with the centroid as stratum)."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({ids})
+), s AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 5) AS cos
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM s
+), a AS (
+  SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(vec_id AS BIGINT) AS vec_id
+  FROM r WHERE rn = 1
+), q AS (
+  SELECT centroid_id, vec_id,
+         row_number() OVER (
+           PARTITION BY centroid_id
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn2
+  FROM a
+)
+SELECT centroid_id, vec_id FROM q WHERE rn2 <= {k}
+"""
+
+
+def sql_oov_rate(v: int = 20) -> str:
+    """Twin of ``documents.q_oov_rate``: top-V vocabulary with the
+    (n desc, token asc) tie-break of the top-terms twin, OOV fraction as
+    avg of a 0/1 case — identical to the engine's count/n division."""
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+  FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
+), v AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, t LIMIT {v})
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(CASE WHEN t IN (SELECT t FROM v) THEN 0.0 ELSE 1.0 END), 6)
+         AS oov_rate
+FROM tok GROUP BY doc_id
+"""
