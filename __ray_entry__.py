@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_heavy_hitters_recall": D.q_heavy_hitters_recall,
         "t_pii_redact": D.q_pii_redact,
         "t_c4_line_filter": D.q_c4_line_filter,
+        "d_line_dedup": D.q_line_dedup,
+        "t_keyword_in_context": D.q_keyword_in_context,
         "t_unicode_normalize": D.q_unicode_normalize,
         "t_len_token_corr": D.q_len_token_corr,
         "d_edit_distance_pairs": D.q_edit_distance_pairs,
@@ -212,6 +214,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_pii_redact": O.sql_pii_redact(),
         "t_c4_line_filter": O.sql_c4_line_filter(),
+        "d_line_dedup": O.sql_line_dedup(),
+        "t_keyword_in_context": O.sql_keyword_in_context(
+            D.KWIC_TERM, D.KWIC_WINDOW
+        ),
         "t_unicode_normalize": O.sql_unicode_normalize(),
         "t_len_token_corr": O.sql_len_token_corr(),
         "d_edit_distance_pairs": O.sql_edit_distance_pairs(),

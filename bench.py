@@ -96,6 +96,8 @@ QUERY_NAMES = [
     "t_bigram_logprob",
     "d_cluster_balanced_sample",
     "t_oov_rate",
+    "d_line_dedup",
+    "t_keyword_in_context",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

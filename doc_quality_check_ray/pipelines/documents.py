@@ -3013,6 +3013,35 @@ EDIT_PLANT_SUFFIX = " near copy."
 COMBINING_MARKS_RE = "\\p{Mn}"
 
 
+def _planted_multiline(i, text):
+    """Deterministic multi-line plant shared by the line-level operators
+    (``q_c4_line_filter``, ``q_line_dedup``): doc_id residues append a fixed
+    set of lines; the SQL twins rebuild the identical text via
+    ``oracle.SQL_PLANTED_MULTILINE``."""
+    import numpy as np
+
+    def plant(mask: np.ndarray, s: str):
+        return pc.if_else(pa.array(mask), s, "")
+
+    mtext = pc.binary_join_element_wise(
+        text,
+        plant(i % 3 == 0, "\nclick here to subscribe"),
+        plant(i % 5 == 0, "\nthis paragraph has enough words to pass the gate."),
+        plant(i % 17 == 0, "\nenable javascript to continue reading this page."),
+        pc.if_else(
+            pa.array(i % 7 == 0),
+            pc.binary_join_element_wise("\n", text, " indeed.", ""),
+            "",
+        ),
+        plant(i % 19 == 0, "\nlorem ipsum dolor sit amet consectetur."),
+        plant(i % 23 == 0, "\nfunction() { return 1; }"),
+        "",
+    )
+    if isinstance(mtext, pa.ChunkedArray):
+        mtext = mtext.combine_chunks()
+    return mtext
+
+
 def q_c4_line_filter(sf_dir: str):
     """C4-style line-level boilerplate filter (Raffel et al. 2020, §2.2 —
     the cleanup pass behind the C4 corpus): split each document into lines,
@@ -3038,24 +3067,7 @@ def q_c4_line_filter(sf_dir: str):
         ids = t["doc_id"]
         i = ids.to_numpy(zero_copy_only=False)
         text = pc.fill_null(t["text"], "")
-
-        def plant(mask: np.ndarray, s: str):
-            return pc.if_else(pa.array(mask), s, "")
-
-        mtext = pc.binary_join_element_wise(
-            text,
-            plant(i % 3 == 0, "\nclick here to subscribe"),
-            plant(i % 5 == 0, "\nthis paragraph has enough words to pass the gate."),
-            plant(i % 17 == 0, "\nenable javascript to continue reading this page."),
-            pc.if_else(
-                pa.array(i % 7 == 0),
-                pc.binary_join_element_wise("\n", text, " indeed.", ""),
-                "",
-            ),
-            plant(i % 19 == 0, "\nlorem ipsum dolor sit amet consectetur."),
-            plant(i % 23 == 0, "\nfunction() { return 1; }"),
-            "",
-        )
+        mtext = _planted_multiline(i, text)
         lines = pc.split_pattern(mtext, "\n")
         if isinstance(lines, pa.ChunkedArray):
             lines = lines.combine_chunks()
@@ -3690,3 +3702,123 @@ def q_oov_rate(sf_dir: str, v: int = OOV_VOCAB_V):
         )
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_line_dedup(sf_dir: str):
+    """Cross-document line deduplication — C4's other half (Raffel et al.
+    2020 §2.2 dedups repeated spans ACROSS pages, not just within): every
+    occurrence of a line after its first (ordered by (doc_id, line_idx)) is
+    a suppression candidate. Emits (doc_id, line_idx, line) for suppressed
+    occurrences — the boilerplate that repeats corpus-wide (the planted
+    subscribe-bait/javascript/lorem lines each recur on a doc_id residue
+    class).
+
+    Scale shape: explode to (line, doc_id, line_idx) triples via offset
+    arithmetic; md5-fingerprint lines so the exchange key is fixed-width;
+    fingerprint-bucket exchange; each bucket computes the per-line min
+    (doc_id, line_idx) vectorized and emits the rest — the keep-first dedup
+    shape (``stages/dedup.py``) applied one level below the document.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_fingerprints
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        i = ids.to_numpy(zero_copy_only=False)
+        mtext = _planted_multiline(i, pc.fill_null(t["text"], ""))
+        lines = pc.split_pattern(mtext, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        n_per_doc = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(i, n_per_doc)
+        line_idx = np.arange(int(n_per_doc.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n_per_doc) - n_per_doc, n_per_doc
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_of, pa.int64()),
+                "line_idx": pa.array(line_idx),
+                "line": flat,
+                "fp": pa.array(md5_fingerprints(flat.to_pylist()), pa.string()),
+            }
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["fp"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def suppress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id", "line_idx"], kind="mergesort")
+        first = ~g["fp"].duplicated(keep="first")
+        out = g.loc[~first, ["doc_id", "line_idx", "line"]]
+        return out
+
+    return (
+        _docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(suppress, batch_format="pandas")
+    )
+
+
+KWIC_TERM = "vector"
+KWIC_WINDOW = 24
+
+
+def q_keyword_in_context(sf_dir: str, term: str = KWIC_TERM, w: int = KWIC_WINDOW):
+    """Keyword-in-context extraction — the corpus-inspection snippet view:
+    for every document containing ``term``, the ±w-character window around
+    its FIRST occurrence. Emits (doc_id, pos, snippet); ``pos`` is the
+    1-based character offset (SQL ``strpos`` convention).
+
+    Scale shape: one embarrassingly parallel pass — ``find_substring`` +
+    two slice kernels; no exchange, no Python rows. ASCII corpus ⇒ Arrow
+    byte offsets equal SQL character offsets (documented precondition; a
+    multibyte corpus would swap in the codepoint kernels).
+    """
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        pos0 = pc.find_substring(text, term)  # 0-based, -1 = absent
+        hit = pc.greater_equal(pos0, 0)
+        t2 = pa.table({"doc_id": t["doc_id"], "text": text}).filter(hit)
+        if t2.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "snippet": pa.array([], pa.string()),
+                }
+            )
+        import polars as pl
+
+        p0 = pc.find_substring(t2["text"], term).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.maximum(p0 - w, 0)
+        ln = (p0 + len(term) + w) - lo
+        txt = t2["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        snip = (
+            pl.DataFrame({"t": pl.from_arrow(txt), "lo": lo, "ln": ln})
+            .select(pl.col("t").str.slice(pl.col("lo"), pl.col("ln")))
+            .to_series()
+            .to_arrow()
+        )
+        return pa.table(
+            {
+                "doc_id": t2["doc_id"],
+                "pos": pa.array(p0 + 1),
+                "snippet": pc.cast(snip, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1417,13 +1417,7 @@ SELECT conv_id, CAST(-1 AS INTEGER), 'turn_gap',
     )
 
 
-def sql_c4_line_filter() -> str:
-    """Exact twin of ``documents.q_c4_line_filter``: identical planted
-    lines, identical keep predicate (word count = spaces+1, terminal-punct
-    RE2, javascript substring), list_filter preserves line order exactly as
-    the engine's offset-arithmetic reconstruct does."""
-    return """
-WITH m AS (
+SQL_PLANTED_MULTILINE = """
   SELECT doc_id, text
     || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'click here to subscribe' ELSE '' END
     || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this paragraph has enough words to pass the gate.' ELSE '' END
@@ -1431,7 +1425,16 @@ WITH m AS (
     || CASE WHEN doc_id % 7 = 0 THEN chr(10) || text || ' indeed.' ELSE '' END
     || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
     || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'function() { return 1; }' ELSE '' END AS mt
-  FROM documents),
+  FROM documents"""
+
+
+def sql_c4_line_filter() -> str:
+    """Exact twin of ``documents.q_c4_line_filter``: identical planted
+    lines, identical keep predicate (word count = spaces+1, terminal-punct
+    RE2, javascript substring), list_filter preserves line order exactly as
+    the engine's offset-arithmetic reconstruct does."""
+    return f"""
+WITH m AS ({SQL_PLANTED_MULTILINE}),
 f AS (
   SELECT doc_id, mt, string_split(mt, chr(10)) AS ls,
          list_filter(string_split(mt, chr(10)),
@@ -1446,7 +1449,7 @@ SELECT doc_id,
 FROM f
 WHERE len(kept) >= 1
   AND NOT contains(mt, 'lorem ipsum')
-  AND NOT contains(mt, '{')
+  AND NOT contains(mt, '{{')
 """
 
 
@@ -1682,4 +1685,37 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(CASE WHEN t IN (SELECT t FROM v) THEN 0.0 ELSE 1.0 END), 6)
          AS oov_rate
 FROM tok GROUP BY doc_id
+"""
+
+
+def sql_line_dedup() -> str:
+    """Twin of ``documents.q_line_dedup``: the shared plant fragment,
+    list-index explode, row_number keep-first over the raw line string (the
+    engine groups on md5 of the line — same grouping absent collisions)."""
+    return f"""
+WITH m AS ({SQL_PLANTED_MULTILINE}),
+l AS (
+  SELECT doc_id, ls[i] AS line, CAST(i - 1 AS BIGINT) AS line_idx
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+        FROM (SELECT doc_id, string_split(mt, chr(10)) AS ls FROM m)))
+SELECT doc_id, line_idx, line FROM (
+  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rk
+  FROM l)
+WHERE rk > 1
+"""
+
+
+def sql_keyword_in_context(term: str = "vector", w: int = 24) -> str:
+    """Twin of ``documents.q_keyword_in_context``: strpos/substr with the
+    same clamped window arithmetic (1-based SQL offsets)."""
+    n = len(term)
+    return f"""
+SELECT doc_id,
+       CAST(strpos(text, '{term}') AS BIGINT) AS pos,
+       substr(text,
+              greatest(strpos(text, '{term}') - {w}, 1),
+              (strpos(text, '{term}') + {n} + {w})
+                - greatest(strpos(text, '{term}') - {w}, 1)) AS snippet
+FROM documents
+WHERE strpos(text, '{term}') > 0
 """
