@@ -3822,3 +3822,121 @@ def q_keyword_in_context(sf_dir: str, term: str = KWIC_TERM, w: int = KWIC_WINDO
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_len_gini(sf_dir: str):
+    """Per-source Gini coefficient of token counts — the mixture-balance
+    inequality meter: 0 = every document the same length, →1 = a few giants
+    dominate the source's token mass (skew that distorts sampling quotas
+    and packing efficiency). Emits (source, n, gini).
+
+    Exactness: per-batch (source, token-count) histogram partials → one
+    keyed exchange (cardinality ≤ sources × max_len, tiny) → per-source
+    final. The rank sum Σ i·x_i over the sorted multiset is computed from
+    histogram runs in EXACT integer arithmetic (a run of value v with count
+    c starting at rank r contributes v·c·(2r+c−1)/2), so
+    ``gini = (2·Σi·x_i − (n+1)·Σx) / (n·Σx)`` is one float division of two
+    exact ints — bit-equal to the SQL twin's row_number formulation (tie
+    order can't matter: tied ranks carry equal values).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (
+            pc.count_substring(pc.fill_null(t["text"], ""), " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return (
+            pa.table({"source": src, "x": pa.array(x)})
+            .group_by(["source", "x"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "x", "c"])
+        )
+
+    hist = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "x"],
+        {"c": ("c", "sum")},
+        num_buckets=8,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("x", kind="mergesort")
+        v = g["x"].to_numpy().astype(object)  # python ints — exact
+        c = g["c"].to_numpy().astype(object)
+        n = int(sum(c))
+        sx = int(sum(v[i] * c[i] for i in range(len(g))))
+        srx = 0
+        r = 1
+        for i in range(len(g)):
+            srx += int(v[i]) * int(c[i]) * (2 * r + int(c[i]) - 1) // 2
+            r += int(c[i])
+        gini = float(2 * srx - (n + 1) * sx) / float(n * sx)
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n": pd.array([n], dtype="int64"),
+                "gini": [gini],
+            }
+        )
+
+    return hist.groupby("source").map_groups(final, batch_format="pandas")
+
+
+#: data-hygiene anomaly classes planted in-query (the PII pattern)
+WS_TAB_RE = "\\t"
+WS_MULTISPACE_RE = "  +"
+WS_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def q_whitespace_anomalies(sf_dir: str):
+    """Whitespace/control-character hygiene check — the ingest-time anomaly
+    scan that catches TSV leakage (tabs), double-space OCR artifacts, and
+    binary control characters before they poison tokenization. Emits
+    (doc_id, n_tabs, n_multispace, n_ctrl) for anomalous documents only.
+
+    The corpus is clean, so anomalies are planted in-query on both twins:
+    doc_id % 9 gains a tab, % 10 a double space, % 21 a BEL control char.
+    One embarrassingly parallel pass, three RE2 count kernels, no exchange.
+    """
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        i = ids.to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t["text"], "")
+
+        def plant(mask: np.ndarray, s: str):
+            return pc.if_else(pa.array(mask), s, "")
+
+        mtext = pc.binary_join_element_wise(
+            text,
+            plant(i % 9 == 0, "\tcol2"),
+            plant(i % 10 == 0, "  doubled"),
+            plant(i % 21 == 0, "\x07bel"),
+            "",
+        )
+        counts = {
+            name: pc.cast(pc.count_substring_regex(mtext, pat), pa.int64())
+            for name, pat in (
+                ("n_tabs", WS_TAB_RE),
+                ("n_multispace", WS_MULTISPACE_RE),
+                ("n_ctrl", WS_CTRL_RE),
+            )
+        }
+        out = pa.table({"doc_id": ids, **counts})
+        anomalous = pc.greater(
+            pc.add(pc.add(counts["n_tabs"], counts["n_multispace"]), counts["n_ctrl"]),
+            0,
+        )
+        return out.filter(anomalous)
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1719,3 +1719,63 @@ SELECT doc_id,
 FROM documents
 WHERE strpos(text, '{term}') > 0
 """
+
+
+def sql_missing_turn_ranges(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of ``validate.q_missing_turn_ranges``: lag over distinct
+    (conv_id, turn_idx), holes emitted as inclusive ranges."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id,
+       CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(turn_idx - 1 AS BIGINT) AS gap_end
+FROM (
+  SELECT conv_id, turn_idx,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM (SELECT DISTINCT conv_id, turn_idx FROM transcripts))
+WHERE prev IS NOT NULL AND turn_idx - prev > 1
+"""
+    )
+
+
+SQL_LEN_GINI = """
+WITH s AS (
+  SELECT source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS x
+  FROM documents),
+r AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x) AS rn
+  FROM s),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(rn * x) AS BIGINT) AS srx
+  FROM r GROUP BY source)
+SELECT source, n,
+       CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+FROM a
+"""
+
+
+def sql_whitespace_anomalies() -> str:
+    """Twin of ``documents.q_whitespace_anomalies``: identical plants via
+    chr(), identical RE2 classes."""
+    from .documents import WS_CTRL_RE, WS_MULTISPACE_RE, WS_TAB_RE
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 9 = 0 THEN chr(9) || 'col2' ELSE '' END
+    || CASE WHEN doc_id % 10 = 0 THEN '  doubled' ELSE '' END
+    || CASE WHEN doc_id % 21 = 0 THEN chr(7) || 'bel' ELSE '' END AS mt
+  FROM documents)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(mt, '{WS_TAB_RE}')) AS BIGINT) AS n_tabs,
+       CAST(length(regexp_extract_all(mt, '{WS_MULTISPACE_RE}')) AS BIGINT) AS n_multispace,
+       CAST(length(regexp_extract_all(mt, '{WS_CTRL_RE}')) AS BIGINT) AS n_ctrl
+FROM m
+WHERE length(regexp_extract_all(mt, '{WS_TAB_RE}'))
+    + length(regexp_extract_all(mt, '{WS_MULTISPACE_RE}'))
+    + length(regexp_extract_all(mt, '{WS_CTRL_RE}')) > 0
+"""

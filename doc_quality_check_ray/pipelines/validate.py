@@ -1028,3 +1028,53 @@ def q_dup_key_resolution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         .groupby("bucket")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def q_missing_turn_ranges(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Gap diagnostics beyond the count: the exact missing ``turn_idx``
+    RANGES per conversation — for every adjacent pair of present turns with
+    a hole between them, emit (conv_id, gap_start, gap_end) covering
+    ``prev+1 .. cur-1``. What a repair job would re-request.
+
+    Conv-bucket exchange; each bucket sorts its conversations once, lags
+    over DISTINCT turn indices vectorized. (Planted gap conversations make
+    the result nonzero; duplicate keys collapse via the distinct step so a
+    duplicated turn can't fake a hole's edge.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(["conv_id", "turn_idx"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def ranges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["conv_id", "turn_idx"]).sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        prev = g.groupby("conv_id", sort=False)["turn_idx"].shift()
+        hole = prev.notna() & (g["turn_idx"] - prev > 1)
+        out = pd.DataFrame(
+            {
+                "conv_id": g.loc[hole, "conv_id"],
+                "gap_start": (prev[hole] + 1).astype("int64"),
+                "gap_end": (g.loc[hole, "turn_idx"] - 1).astype("int64"),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(ranges, batch_format="pandas")
+    )
