@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bigram_logprob": D.q_bigram_logprob,
         "t_oov_rate": D.q_oov_rate,
         "t_len_gini": D.q_len_gini,
+        "t_source_mix_weights": D.q_source_mix_weights,
         "t_whitespace_anomalies": D.q_whitespace_anomalies,
         "t_inverted_index": D.q_inverted_index,
         "mm_decode": D.q_mm_decode,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_repost_suppression": V.q_repost_suppression,
         "v_dup_key_resolution": V.q_dup_key_resolution,
         "v_missing_turn_ranges": V.q_missing_turn_ranges,
+        "v_conversation_profile": V.q_conversation_profile,
         "v_conversation_texts": V.q_conversation_texts,
         "t_len_quantiles_by_source": V.q_len_quantiles_by_source,
         "t_longest_docs_by_source": D.q_longest_docs_by_source,
@@ -246,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "t_bigram_logprob": O.SQL_BIGRAM_LOGPROB,
         "t_oov_rate": O.sql_oov_rate(D.OOV_VOCAB_V),
         "t_len_gini": O.SQL_LEN_GINI,
+        "t_source_mix_weights": O.SQL_SOURCE_MIX_WEIGHTS,
         "t_whitespace_anomalies": O.sql_whitespace_anomalies(),
         "t_inverted_index": O.sql_inverted_index(D.POSTINGS_K),
         "e_hourly_event_counts": E.SQL_HOURLY_EVENT_COUNTS,
@@ -275,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "v_repost_suppression": O.sql_repost_suppression(),
         "v_dup_key_resolution": O.sql_dup_key_resolution(),
         "v_missing_turn_ranges": O.sql_missing_turn_ranges(),
+        "v_conversation_profile": O.sql_conversation_profile(),
         "v_conversation_texts": O.sql_conversation_texts(),
         "t_len_quantiles_by_source": O.sql_len_quantiles_by_source(),
         "t_longest_docs_by_source": O.sql_longest_docs_by_source(D.TOPDOCS_K),

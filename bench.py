@@ -98,6 +98,10 @@ QUERY_NAMES = [
     "t_oov_rate",
     "d_line_dedup",
     "t_keyword_in_context",
+    "v_conversation_profile",
+    "t_source_mix_weights",
+    "t_len_gini",
+    "v_missing_turn_ranges",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

@@ -3940,3 +3940,63 @@ def q_whitespace_anomalies(sf_dir: str):
         return out.filter(anomalous)
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: uniform target mixture over sources (the reweighting baseline)
+MIX_TARGET_UNIFORM = True
+
+
+def q_source_mix_weights(sf_dir: str):
+    """Mixture reweighting — per-source upsampling weights toward a uniform
+    target mix: ``weight = target_share / actual_share`` where actual share
+    is the source's token mass fraction (the corpus-mixing arithmetic behind
+    DoReMi-style reweighting, with uniform as the fixed target). Emits
+    (source, n_docs, n_tokens, token_share, weight).
+
+    One combiner pass (per-batch per-source doc/token counts) → the tiny
+    source exchange → one final map. The two float columns divide exact
+    int64 totals in the same order on both twins.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (
+            pc.count_substring(pc.fill_null(t["text"], ""), " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        df = pl.DataFrame({"source": pl.from_arrow(src), "toks": toks})
+        return df.group_by("source").agg(
+            n_docs=pl.len().cast(pl.Int64), n_tokens=pl.col("toks").sum()
+        ).to_arrow()
+
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum")},
+        num_buckets=4,
+    ).to_pandas()
+    total = int(merged["n_tokens"].sum())
+    k = len(merged)
+    share = merged["n_tokens"].astype("int64").to_numpy() / float(total)
+    weight = (1.0 / float(k)) / share
+    out = merged.sort_values("source", ignore_index=True)
+    share_s = out["n_tokens"].astype("int64").to_numpy() / float(total)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype("int64")),
+            "n_tokens": pa.array(out["n_tokens"].astype("int64")),
+            "token_share": pa.array(share_s, pa.float64()),
+            "weight": pa.array((1.0 / float(k)) / share_s, pa.float64()),
+        }
+    )

@@ -1779,3 +1779,39 @@ WHERE length(regexp_extract_all(mt, '{WS_TAB_RE}'))
     + length(regexp_extract_all(mt, '{WS_MULTISPACE_RE}'))
     + length(regexp_extract_all(mt, '{WS_CTRL_RE}')) > 0
 """
+
+
+def sql_conversation_profile(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of ``validate.q_conversation_profile``: all-integer rollup."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN coalesce(role, '') = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN coalesce(role, '') = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(CASE WHEN coalesce(role, '') = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_len,
+       CAST(max(length(coalesce(text, ''))) AS BIGINT) AS max_text_len
+FROM transcripts
+GROUP BY conv_id
+"""
+    )
+
+
+SQL_SOURCE_MIX_WEIGHTS = """
+WITH a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS k FROM a)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+       (CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
+FROM a CROSS JOIN t
+"""

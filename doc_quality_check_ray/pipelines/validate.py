@@ -1078,3 +1078,77 @@ def q_missing_turn_ranges(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         .groupby("bucket")
         .map_groups(ranges, batch_format="pandas")
     )
+
+
+def q_conversation_profile(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-conversation profile rollup — the bread-and-butter transcript
+    view every downstream consumer joins against: turn count, per-role
+    counts, time span, and text-mass stats per conversation.
+    (conv_id, n_turns, n_user, n_assistant, n_tool, first_ts_us,
+    last_ts_us, sum_text_len, max_text_len).
+
+    Fully combiner-shaped: every statistic is mergeable, so each batch
+    pre-aggregates to one partial row per conversation it touches (the
+    shuffle carries ~n_convs-per-batch rows, never turns) and ONE conv-keyed
+    hash-bucket exchange merges partials. Role counts use fixed role-class
+    indicators (mergeable, unlike a distinct-role count).
+    """
+    import numpy as np
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        text = pc.fill_null(t["text"], "")
+        df = pl.DataFrame(
+            {
+                "conv_id": pl.from_arrow(
+                    t["conv_id"].combine_chunks()
+                    if isinstance(t["conv_id"], pa.ChunkedArray)
+                    else t["conv_id"]
+                ),
+                "is_user": pl.from_arrow(
+                    pc.cast(pc.equal(pc.fill_null(t["role"], ""), "user"), pa.int64())
+                ),
+                "is_assistant": pl.from_arrow(
+                    pc.cast(
+                        pc.equal(pc.fill_null(t["role"], ""), "assistant"), pa.int64()
+                    )
+                ),
+                "is_tool": pl.from_arrow(
+                    pc.cast(pc.equal(pc.fill_null(t["role"], ""), "tool"), pa.int64())
+                ),
+                "ts_us": pl.from_arrow(pc.cast(t["ts"], pa.int64())),
+                "text_len": pl.from_arrow(pc.cast(pc.utf8_length(text), pa.int64())),
+            }
+        )
+        agg = df.group_by("conv_id").agg(
+            n_turns=pl.len().cast(pl.Int64),
+            n_user=pl.col("is_user").sum(),
+            n_assistant=pl.col("is_assistant").sum(),
+            n_tool=pl.col("is_tool").sum(),
+            first_ts_us=pl.col("ts_us").min(),
+            last_ts_us=pl.col("ts_us").max(),
+            sum_text_len=pl.col("text_len").sum(),
+            max_text_len=pl.col("text_len").max(),
+        )
+        return agg.to_arrow()
+
+    return hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"],
+        {
+            "n_turns": ("n_turns", "sum"),
+            "n_user": ("n_user", "sum"),
+            "n_assistant": ("n_assistant", "sum"),
+            "n_tool": ("n_tool", "sum"),
+            "first_ts_us": ("first_ts_us", "min"),
+            "last_ts_us": ("last_ts_us", "max"),
+            "sum_text_len": ("sum_text_len", "sum"),
+            "max_text_len": ("max_text_len", "max"),
+        },
+        num_buckets=64,
+    )
