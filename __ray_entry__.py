@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_unigram_logprob": D.q_unigram_logprob,
         "t_bigram_logprob": D.q_bigram_logprob,
         "t_oov_rate": D.q_oov_rate,
+        "t_ngram_novelty": D.q_ngram_novelty,
         "t_len_gini": D.q_len_gini,
         "t_source_mix_weights": D.q_source_mix_weights,
         "t_whitespace_anomalies": D.q_whitespace_anomalies,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "t_unigram_logprob": O.SQL_UNIGRAM_LOGPROB,
         "t_bigram_logprob": O.SQL_BIGRAM_LOGPROB,
         "t_oov_rate": O.sql_oov_rate(D.OOV_VOCAB_V),
+        "t_ngram_novelty": O.SQL_NGRAM_NOVELTY,
         "t_len_gini": O.SQL_LEN_GINI,
         "t_source_mix_weights": O.SQL_SOURCE_MIX_WEIGHTS,
         "t_whitespace_anomalies": O.sql_whitespace_anomalies(),

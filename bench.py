@@ -102,6 +102,7 @@ QUERY_NAMES = [
     "t_source_mix_weights",
     "t_len_gini",
     "v_missing_turn_ranges",
+    "t_ngram_novelty",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

@@ -4000,3 +4000,100 @@ def q_source_mix_weights(sf_dir: str):
             "weight": pa.array((1.0 / float(k)) / share_s, pa.float64()),
         }
     )
+
+
+NOVELTY_K = 3
+
+
+def q_ngram_novelty(sf_dir: str):
+    """N-gram novelty scoring — per document, the fraction of its DISTINCT
+    word 3-grams that appear in NO other document (the diversity /
+    memorization-risk meter: low novelty = boilerplate-assembled text, high
+    = genuinely fresh content). Emits (doc_id, n_shingles, novel_frac) for
+    documents with ≥ 3 tokens.
+
+    Scale shape: a two-hop exchange WITHOUT any broadcast (the shingle
+    vocabulary is corpus-sized — broadcasting it is the wrong design):
+    per-batch distinct (doc, shingle-hash) pairs (exact — a doc is one row)
+    → shingle-keyed bucket exchange where each bucket counts docs per
+    shingle and pre-aggregates per-doc (novel, total) partials → doc-keyed
+    exchange summing partials → one final ratio map. Hash 3-grams equal
+    string 3-grams absent uint64 collisions (house argument).
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.rounding import round_half_away
+
+    mults = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        if len(toks) < NOVELTY_K:
+            return pa.table(
+                {"sh": pa.array([], pa.uint64()), "doc_id": pa.array([], pa.int64())}
+            )
+        ok = row_of[2:] == row_of[:-2]
+        sh = (toks[:-2] * mults[0]) ^ (toks[1:-1] * mults[1]) ^ (toks[2:] * mults[2])
+        sh, srow = sh[ok], row_of[:-2][ok]
+        key = np.stack([srow.astype(np.uint64), sh], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "sh": pa.array(uniq[:, 1], pa.uint64()),
+                "doc_id": pa.array(ids[uniq[:, 0].astype(np.int64)], pa.int64()),
+            }
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.select(["sh"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(128)).astype(np.int64))
+        )
+
+    def per_shingle(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("sh", sort=False)["doc_id"].transform("size")
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "novel": (nd == 1).astype("int64"),
+            }
+        )
+        agg = out.groupby("doc_id", sort=False, as_index=False).agg(
+            n_shingles=("novel", "size"), n_novel=("novel", "sum")
+        )
+        agg["n_shingles"] = agg["n_shingles"].astype("int64")
+        return agg
+
+    shingle_stats = (
+        _docs(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_shingle, batch_format="pandas")
+    )
+
+    totals = hash_bucket_aggregate(
+        shingle_stats,
+        ["doc_id"],
+        {"n_shingles": ("n_shingles", "sum"), "n_novel": ("n_novel", "sum")},
+        num_buckets=32,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nov = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+                "novel_frac": pa.array(round_half_away(nov / n, 6), pa.float64()),
+            }
+        )
+
+    return totals.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)

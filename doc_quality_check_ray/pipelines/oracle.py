@@ -1815,3 +1815,21 @@ SELECT source, n_docs, n_tokens,
          / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
 FROM a CROSS JOIN t
 """
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ts
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), g AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS sh
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        FROM t WHERE len(ts) >= 3)
+), c AS (
+  SELECT sh, count(*) AS nd FROM g GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       round(avg(CASE WHEN nd = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+FROM g JOIN c USING (sh)
+GROUP BY doc_id
+"""
