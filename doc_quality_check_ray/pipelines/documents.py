@@ -3987,8 +3987,6 @@ def q_source_mix_weights(sf_dir: str):
     ).to_pandas()
     total = int(merged["n_tokens"].sum())
     k = len(merged)
-    share = merged["n_tokens"].astype("int64").to_numpy() / float(total)
-    weight = (1.0 / float(k)) / share
     out = merged.sort_values("source", ignore_index=True)
     share_s = out["n_tokens"].astype("int64").to_numpy() / float(total)
     return pa.table(
