@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bigram_logprob": D.q_bigram_logprob,
         "t_oov_rate": D.q_oov_rate,
         "t_ngram_novelty": D.q_ngram_novelty,
+        "t_source_js_divergence": D.q_source_js_divergence,
         "t_len_gini": D.q_len_gini,
         "t_source_mix_weights": D.q_source_mix_weights,
         "t_whitespace_anomalies": D.q_whitespace_anomalies,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "t_bigram_logprob": O.SQL_BIGRAM_LOGPROB,
         "t_oov_rate": O.sql_oov_rate(D.OOV_VOCAB_V),
         "t_ngram_novelty": O.SQL_NGRAM_NOVELTY,
+        "t_source_js_divergence": O.sql_source_js_divergence(D.JS_VOCAB_V),
         "t_len_gini": O.SQL_LEN_GINI,
         "t_source_mix_weights": O.SQL_SOURCE_MIX_WEIGHTS,
         "t_whitespace_anomalies": O.sql_whitespace_anomalies(),

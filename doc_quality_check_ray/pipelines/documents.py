@@ -4095,3 +4095,100 @@ def q_ngram_novelty(sf_dir: str):
         )
 
     return totals.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JS_VOCAB_V = 30
+
+
+def q_source_js_divergence(sf_dir: str, v: int = JS_VOCAB_V):
+    """Pairwise Jensen–Shannon divergence between per-source token
+    distributions — the corpus-similarity matrix that tells a mixture
+    designer which sources are near-duplicates of each other and which add
+    genuine diversity. Distributions are over the exact top-V vocabulary
+    plus one OOV bucket (so they are true distributions and the meter is
+    exact, not vocabulary-truncated). Emits (source_a, source_b, js) for
+    source_a < source_b.
+
+    Scale shape: the vocabulary is the exact ``q_top_terms`` path; counts
+    are a per-batch (source, category) combiner — ≤ sources·(V+1) rows per
+    batch — merged by one tiny keyed exchange; the JS matrix itself is a
+    driver-side O(sources²·V) computation on the collected grid (sources ≪
+    corpus by definition of the meter). Zero-handling (0·ln → 0) and the
+    round-6 KL/PSI convention follow the ``v_role_drift`` house pattern.
+    """
+    import numpy as np
+    import polars as pl
+
+    from ..functions.rounding import round_half_away
+
+    vocab_tbl = q_top_terms(sf_dir, top_k=v)
+    vh = pl.Series(vocab_tbl["token"].to_pylist()).hash(seed=42).to_numpy().astype(np.uint64)
+    order = np.argsort(vh)
+    vh_sorted = vh[order]
+
+    def counts(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import token_hashes
+
+        toks_all, offs = token_hashes(t["text"])
+        n_row = np.diff(offs)
+        row_all = np.repeat(np.arange(len(n_row)), n_row)
+        blank = pc.equal(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), ""
+        ).to_numpy(zero_copy_only=False)
+        keep = ~blank[row_all]
+        toks, row_of = toks_all[keep], row_all[keep]
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_np = np.asarray(src.to_pylist(), dtype=object)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "cat": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.minimum(np.searchsorted(vh_sorted, toks), len(vh_sorted) - 1)
+        cat = np.where(vh_sorted[pos] == toks, pos, len(vh_sorted)).astype(np.int64)
+        df = pl.DataFrame({"source": src_np[row_of], "cat": cat})
+        return (
+            df.group_by(["source", "cat"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .to_arrow()
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    grid = hash_bucket_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "cat"],
+        {"n": ("n", "sum")},
+        num_buckets=4,
+    ).to_pandas()
+
+    sources = sorted(grid["source"].unique())
+    k = len(vh_sorted) + 1
+    mat = np.zeros((len(sources), k), dtype=np.float64)
+    s_of = {s: i for i, s in enumerate(sources)}
+    for _, r in grid.iterrows():
+        mat[s_of[r["source"]], int(r["cat"])] = float(r["n"])
+    mat = mat / mat.sum(axis=1, keepdims=True)
+
+    out = {"source_a": [], "source_b": [], "js": []}
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            p, q = mat[i], mat[j]
+            m = p + q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = np.where(p > 0, 0.5 * p * np.log(2 * p / m), 0.0)
+                tb = np.where(q > 0, 0.5 * q * np.log(2 * q / m), 0.0)
+            out["source_a"].append(sources[i])
+            out["source_b"].append(sources[j])
+            out["js"].append(round_half_away(np.array([np.sum(ta + tb)]), 6)[0])
+    return pa.table(
+        {
+            "source_a": pa.array(out["source_a"], pa.string()),
+            "source_b": pa.array(out["source_b"], pa.string()),
+            "js": pa.array(out["js"], pa.float64()),
+        }
+    )

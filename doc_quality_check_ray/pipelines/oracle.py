@@ -1833,3 +1833,44 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
 FROM g JOIN c USING (sh)
 GROUP BY doc_id
 """
+
+
+def sql_source_js_divergence(v: int = 30) -> str:
+    """Twin of ``documents.q_source_js_divergence``: top-V + OOV category
+    distributions, identical zero-handling (0·ln → 0), round-6 sums (the
+    v_role_drift KL/PSI convention)."""
+    return rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), v AS (
+  SELECT t FROM (SELECT t, count(*) AS n FROM tok GROUP BY 1
+                 ORDER BY n DESC, t LIMIT {v})
+), cat AS (
+  SELECT source,
+         CASE WHEN t IN (SELECT t FROM v) THEN t ELSE '<OOV>' END AS cat
+  FROM tok
+), c AS (
+  SELECT source, cat, CAST(count(*) AS BIGINT) AS n FROM cat GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1
+), grid AS (
+  SELECT s.source, g.cat
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN (SELECT DISTINCT cat FROM c) g
+), p AS (
+  SELECT grid.source, grid.cat,
+         CAST(coalesce(c.n, 0) AS DOUBLE) / tot.tn AS pr
+  FROM grid LEFT JOIN c USING (source, cat) JOIN tot ON grid.source = tot.source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.pr AS pa, b.pr AS pb
+  FROM p a JOIN p b ON a.cat = b.cat AND a.source < b.source
+)
+SELECT source_a, source_b,
+       round(sum(
+           CASE WHEN pa > 0 THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+         + CASE WHEN pb > 0 THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END), 6)
+         AS js
+FROM pairs GROUP BY 1, 2
+"""
