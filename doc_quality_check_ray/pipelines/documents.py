@@ -3008,6 +3008,11 @@ EDIT_PREFIX_CHARS = 24
 EDIT_PLANT_MOD = 31
 EDIT_PLANT_OFFSET = 1_000_000
 EDIT_PLANT_SUFFIX = " near copy."
+#: cap on one equal-prefix run in the edit-distance verifier: a run of S docs
+#: materializes S*(S-1)/2 candidate pairs, so a degenerate blocking key (a
+#: corpus of near-identical boilerplate) is truncated with a LOGGED warning
+#: (the minhash bucket-cap pattern) instead of an S^2 blowup
+EDIT_RUN_CAP = 512
 
 #: Unicode nonspacing marks — rows matching this need NFC recompose (RE2 class)
 COMBINING_MARKS_RE = "\\p{Mn}"
@@ -3304,10 +3309,19 @@ def q_edit_distance_pairs(sf_dir: str, k: int = EDIT_DIST_K):
         )
         a_idx: list[np.ndarray] = []
         b_idx: list[np.ndarray] = []
+        import logging
+
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             sz = hi - lo
             if sz < 2:
                 continue
+            if sz > EDIT_RUN_CAP:
+                logging.getLogger(__name__).warning(
+                    "edit-distance prefix run truncated: %d docs > cap %d "
+                    "(prefix %r)", sz, EDIT_RUN_CAP, str(pre[lo])[:24]
+                )
+                hi = lo + EDIT_RUN_CAP
+                sz = EDIT_RUN_CAP
             ia, ib = np.triu_indices(sz, 1)
             ia, ib = ia + lo, ib + lo
             band = np.abs(lens[ia] - lens[ib]) <= k
