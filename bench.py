@@ -103,6 +103,9 @@ QUERY_NAMES = [
     "t_len_gini",
     "v_missing_turn_ranges",
     "t_ngram_novelty",
+    "t_source_js_divergence",
+    "r_shipmode_priority",
+    "r_banded_revenue",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

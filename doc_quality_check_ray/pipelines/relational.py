@@ -1072,3 +1072,237 @@ WHERE ((n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
   AND l.l_shipdate <  TIMESTAMP '{TRADE_HI:%Y-%m-%d}'
 GROUP BY 1, 2, 3
 """
+
+
+# -- Q12 shape: priority class counts by line flag ----------------------------
+
+SHIPMODE_LO = datetime.datetime(1996, 1, 1)
+SHIPMODE_HI = datetime.datetime(1997, 1, 1)
+
+
+def q_shipmode_priority(sf_dir: str):
+    """Priority-class line counts by return flag (TPC-H Q12 shape —
+    conditional aggregation across a fact-fact join): for lineitems shipped
+    in the window, per ``l_returnflag``, how many belong to URGENT/HIGH
+    orders vs the rest. All-integer, so the oracle compares exactly.
+
+    Scale design: lineitem pre-filters the window and ships (orderkey,
+    flag); orders ships (orderkey, is_high) — both fixed-width. One
+    orderkey-bucketed exchange; each bucket joins locally and emits
+    per-flag partial counts; the driver merges ≤ buckets × flags rows.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    num_buckets = 32
+
+    def _bucketed(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        is_high = pc.cast(
+            pc.is_in(
+                t["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "key": key,
+                "flag": pa.nulls(len(key), pa.string()),
+                "is_high": is_high,
+                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(SHIPMODE_LO)),
+                pc.less(t["l_shipdate"], pa.scalar(SHIPMODE_HI)),
+            )
+        )
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "flag": t["l_returnflag"],
+                "is_high": pa.nulls(len(key), pa.int64()),
+                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def local_join(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g.loc[g["__side"] == 1, ["key", "is_high"]]
+        items = g.loc[g["__side"] == 0, ["key", "flag"]]
+        j = items.merge(orders, on="key")
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.array([], dtype="object"),
+                    "high_line_count": pd.array([], dtype="int64"),
+                    "low_line_count": pd.array([], dtype="int64"),
+                }
+            )
+        out = (
+            j.groupby("flag", sort=False)["is_high"]
+            .agg(high_line_count="sum", low_line_count=lambda s: int((1 - s).sum()))
+            .reset_index()
+            .rename(columns={"flag": "l_returnflag"})
+        )
+        for c in ("high_line_count", "low_line_count"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = (
+        orders.union(items)
+        .groupby("__bucket")
+        .map_groups(local_join, batch_format="pandas")
+        .to_pandas()
+    )
+    merged = parts.groupby("l_returnflag", as_index=False)[
+        ["high_line_count", "low_line_count"]
+    ].sum()
+    merged = merged.sort_values("l_returnflag", ignore_index=True)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(merged["l_returnflag"], pa.string()),
+            "high_line_count": pa.array(merged["high_line_count"].astype("int64")),
+            "low_line_count": pa.array(merged["low_line_count"].astype("int64")),
+        }
+    )
+
+
+SQL_SHIPMODE_PRIORITY = f"""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{SHIPMODE_LO:%Y-%m-%d}'
+  AND l.l_shipdate <  TIMESTAMP '{SHIPMODE_HI:%Y-%m-%d}'
+GROUP BY 1
+"""
+
+
+# -- Q19 shape: disjunctive banded-predicate revenue --------------------------
+
+
+def q_banded_revenue(sf_dir: str):
+    """Disjunctive banded-predicate revenue (TPC-H Q19 shape): revenue of
+    lineitems whose part matches one of three (brand, size-band,
+    quantity-band) disjuncts — the many-OR pushdown pattern. One row out.
+
+    Scale design: part collapses to broadcast (partkey → brand, size)
+    lookups; every disjunct evaluates vectorized inside the lineitem scan
+    (no join, no exchange); revenue accumulates as fixed-point int64
+    partials, one per batch, merged at the driver.
+    """
+    import numpy as np
+
+    from ..functions.rounding import pc_round_half_away
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    lut_ref = ray.put(
+        (
+            pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+            part["p_brand"].combine_chunks(),
+            pc.cast(part["p_size"], pa.int64()).combine_chunks(),
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk, pb, psz = ray.get(lut_ref)
+        idx = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=pk)
+        brand = pc.take(pb, idx)
+        size = pc.take(psz, idx)
+        q = t["l_quantity"]
+
+        def band(b: str, slo: int, shi: int, qlo: float, qhi: float):
+            return pc.and_(
+                pc.and_(
+                    pc.equal(pc.fill_null(brand, ""), b),
+                    pc.and_(
+                        pc.greater_equal(pc.fill_null(size, -1), slo),
+                        pc.less_equal(pc.fill_null(size, -1), shi),
+                    ),
+                ),
+                pc.and_(pc.greater_equal(q, qlo), pc.less_equal(q, qhi)),
+            )
+
+        hit = pc.or_(
+            pc.or_(
+                band("Brand#1", 1, 10, 1.0, 20.0),
+                band("Brand#2", 5, 20, 5.0, 30.0),
+            ),
+            band("Brand#3", 10, 40, 10.0, 45.0),
+        )
+        t2 = t.filter(hit)
+        rev = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.multiply(
+                        t2["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t2["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        )
+        total = pc.sum(rev).as_py() or 0
+        return pa.table(
+            {
+                "rev": pa.array([total], pa.int64()),
+                "n": pa.array([t2.num_rows], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_lines": pa.array([int(parts["n"].sum())], pa.int64()),
+            "revenue": pa.array(
+                [int(parts["rev"].sum()) / 10000.0], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_BANDED_REVENUE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 5 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 10 AND 45)
+"""
