@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "t_source_js_divergence",
     "r_shipmode_priority",
     "r_banded_revenue",
+    "r_returned_item_customers",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

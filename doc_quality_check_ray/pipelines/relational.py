@@ -1306,3 +1306,174 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
        AND l.l_quantity BETWEEN 10 AND 45)
 """
+
+
+# -- Q10 shape: top returned-revenue customers --------------------------------
+
+RETITEM_LO = datetime.datetime(1996, 1, 1)
+RETITEM_HI = datetime.datetime(1996, 7, 1)
+RETITEM_K = 20
+
+
+def q_returned_item_customers(sf_dir: str, k: int = RETITEM_K):
+    """Top-k customers by revenue of RETURNED lineitems in a quarter-window
+    (TPC-H Q10 shape — the grouped-top-k-over-a-fact-fact-join pattern):
+    which customers are returning the most value, with their nation name.
+
+    Scale design: orders pre-filters the window and ships (orderkey,
+    custkey); lineitem pre-filters returnflag='R' and ships (orderkey,
+    fixed-point revenue); one orderkey-bucketed exchange joins them and
+    emits per-customer partials; a second tiny custkey exchange merges
+    partials; customer/nation names resolve at the end via broadcast lookup
+    over the k winners only (names never join the wide path). Ties on
+    revenue break custkey-ascending on both twins; revenue is fixed-point
+    int64 so the ordering is exact.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.rounding import pc_round_half_away
+
+    num_buckets = 32
+
+    def _bucketed(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(RETITEM_LO)),
+                pc.less(t["o_orderdate"], pa.scalar(RETITEM_HI)),
+            )
+        )
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "cust": pc.cast(t["o_custkey"], pa.int64()),
+                "rev": pa.nulls(len(key), pa.int64()),
+                "__side": pa.array(np.ones(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        )
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "cust": pa.nulls(len(key), pa.int64()),
+                "rev": rev,
+                "__side": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "__bucket": _bucketed(key),
+            }
+        )
+
+    def local_join(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g.loc[g["__side"] == 1, ["key", "cust"]]
+        items = g.loc[g["__side"] == 0, ["key", "rev"]]
+        j = items.merge(orders, on="key")
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "cust": pd.array([], dtype="int64"),
+                    "rev": pd.array([], dtype="int64"),
+                }
+            )
+        out = j.groupby("cust", sort=False, as_index=False)["rev"].sum()
+        out["cust"] = out["cust"].astype("int64")
+        out["rev"] = out["rev"].astype("int64")
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = (
+        orders.union(items)
+        .groupby("__bucket")
+        .map_groups(local_join, batch_format="pandas")
+    )
+    totals = hash_bucket_aggregate(
+        joined, ["cust"], {"rev": ("rev", "sum")}, num_buckets=8
+    ).to_pandas()
+    if totals.empty:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_nation": pa.array([], pa.string()),
+                "revenue": pa.array([], pa.float64()),
+            }
+        )
+    totals = totals.sort_values(
+        ["rev", "cust"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat_of = dict(
+        zip(
+            pc.cast(nation["n_nationkey"], pa.int64()).to_pylist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    cnat = dict(
+        zip(
+            pc.cast(cust["c_custkey"], pa.int64()).to_pylist(),
+            pc.cast(cust["c_nationkey"], pa.int64()).to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(totals["cust"].astype("int64")),
+            "c_nation": pa.array(
+                [nat_of[cnat[c]] for c in totals["cust"]], pa.string()
+            ),
+            "revenue": pa.array(
+                totals["rev"].astype("int64") / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = f"""
+SELECT c.c_custkey, n.n_name AS c_nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+            AS BIGINT) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{RETITEM_LO:%Y-%m-%d}'
+  AND o.o_orderdate <  TIMESTAMP '{RETITEM_HI:%Y-%m-%d}'
+GROUP BY 1, 2
+ORDER BY sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) DESC,
+         c.c_custkey
+LIMIT {RETITEM_K}
+"""
