@@ -4206,3 +4206,66 @@ def q_source_js_divergence(sf_dir: str, v: int = JS_VOCAB_V):
             "js": pa.array(out["js"], pa.float64()),
         }
     )
+
+
+EDIT_RECALL_MOD = 4
+
+
+def q_edit_distance_recall(sf_dir: str, k: int = EDIT_DIST_K):
+    """Recall meter for the edit-distance blocking scheme (the one
+    approximate stage of ``q_edit_distance_pairs`` — prefix blocking can
+    miss pairs whose edits fall in the first 24 chars): ground truth =
+    ALL length-banded pairs with Levenshtein ≤ K over a deterministic doc
+    subsample (every ``EDIT_RECALL_MOD``-th doc plus its planted twin —
+    nonempty exact set by construction), with NO prefix requirement;
+    approx = the blocking pipeline's pairs restricted to the sample.
+
+    The ground truth is a driver-side vectorized brute force over the
+    bounded sample (the n-gram-Jaccard exact-baseline convention); the
+    production path stays fully distributed.
+    """
+    import numpy as np
+
+    from ..functions.editdist import levenshtein_batch
+
+    docs = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False) % EDIT_RECALL_MOD == 0
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    texts = docs["text"].fillna("").to_numpy()
+    # planted twins of sampled docs (the q_edit_distance_pairs plant)
+    tw = ids % EDIT_PLANT_MOD == 0
+    ids = np.concatenate([ids, ids[tw] + EDIT_PLANT_OFFSET])
+    texts = np.concatenate(
+        [texts, np.array([t + EDIT_PLANT_SUFFIX for t in texts[tw]], dtype=object)]
+    )
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+
+    ia, ib = np.triu_indices(len(ids), 1)
+    band = np.abs(lens[ia] - lens[ib]) <= k
+    ia, ib = ia[band], ib[band]
+    dist = levenshtein_batch(list(texts[ia]), list(texts[ib]))
+    hit = dist <= k
+    exact = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[ia[hit]], ids[ib[hit]])
+    }
+
+    sampled = set(ids.tolist())
+    approx_tbl = q_edit_distance_pairs(sf_dir, k=k).to_pandas()
+    approx = {
+        (int(a), int(b))
+        for a, b in zip(approx_tbl["doc_id_a"], approx_tbl["doc_id_b"])
+        if int(a) in sampled and int(b) in sampled
+    }
+    return _recall_row(exact, approx)
