@@ -1610,7 +1610,7 @@ SELECT conv_id, turn_idx, role, ts_us, n_candidates FROM (
          row_number() OVER (
            PARTITION BY conv_id, turn_idx
            ORDER BY epoch_us(ts) DESC, length(coalesce(text, '')) DESC,
-                    coalesce(role, ''), coalesce(text, '')) AS rk
+                    coalesce(role, ''), md5(coalesce(text, ''))) AS rk
   FROM transcripts)
 WHERE rk = 1 AND n_candidates > 1
 """

@@ -966,10 +966,12 @@ def q_dup_key_resolution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     n_candidates) for every resolved multi-row key — what a compaction job
     would keep.
 
-    Null-free total order: ts is µs int64, text/role are coalesced to ''
-    on BOTH twins, so no null-ordering semantics can diverge. Conv-bucket
-    exchange (conversations land whole); each bucket sorts once and takes
-    the per-key head vectorized.
+    Null-free total order: ts is µs int64, role is ''-coalesced, and the
+    final tie-break is the md5 fingerprint of the text (32 bytes through
+    the exchange instead of the text itself — raw text never shuffles;
+    DuckDB orders by the same md5). Conv-bucket exchange (conversations
+    land whole); each bucket sorts once and takes the per-key head
+    vectorized.
     """
     import numpy as np
     import pandas as pd
@@ -977,6 +979,8 @@ def q_dup_key_resolution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     ds = derive_transcripts(sf_dir).select_columns(
         ["conv_id", "turn_idx", "role", "text", "ts"]
     )
+
+    from ..functions.hashing import md5_fingerprints
 
     def bucketize(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -988,7 +992,7 @@ def q_dup_key_resolution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
                 "conv_id": t["conv_id"],
                 "turn_idx": t["turn_idx"],
                 "role": pc.fill_null(t["role"], ""),
-                "text": text,
+                "fp": pa.array(md5_fingerprints(text.to_pylist()), pa.string()),
                 "text_len": pc.cast(pc.utf8_length(text), pa.int64()),
                 "ts_us": pc.cast(t["ts"], pa.int64()),
                 "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
@@ -1016,7 +1020,7 @@ def q_dup_key_resolution(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
             .astype("int64")
         )
         g = g.sort_values(
-            ["conv_id", "turn_idx", "ts_us", "text_len", "role", "text"],
+            ["conv_id", "turn_idx", "ts_us", "text_len", "role", "fp"],
             ascending=[True, True, False, False, True, True],
             kind="mergesort",
         )
