@@ -107,6 +107,8 @@ QUERY_NAMES = [
     "r_shipmode_priority",
     "r_banded_revenue",
     "r_returned_item_customers",
+    "r_min_price_supplier",
+    "t_char_entropy",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

@@ -4269,3 +4269,54 @@ def q_edit_distance_recall(sf_dir: str, k: int = EDIT_DIST_K):
         if int(a) in sampled and int(b) in sampled
     }
     return _recall_row(exact, approx)
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy — the garbage detector
+    that length/token stats miss: binary junk and keyboard-mash score far
+    from prose (~4.1 nats for English-like text; near 0 for repeated
+    characters, near ln(256) for random bytes). Emits
+    (doc_id, n_chars, char_entropy) for non-empty documents.
+
+    Scale shape: one embarrassingly parallel pass directly over the Arrow
+    string buffers — the byte histogram per row is a single ``bincount`` on
+    ``row_of·256 + byte`` (zero string copies, no Python rows); entropy is
+    a masked vectorized log over the (rows × 256) count matrix. ASCII
+    corpus ⇒ bytes equal SQL characters (the KWIC precondition). Round-6
+    sums per the KL/PSI convention.
+    """
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset : text.offset + len(text) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(text.buffers()[2] or b"", dtype=np.uint8)
+        lens = np.diff(offs)
+        n_rows = len(lens)
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        flat = data[offs[0] : offs[-1]]
+        counts = np.bincount(
+            row_of * 256 + flat.astype(np.int64), minlength=n_rows * 256
+        ).reshape(n_rows, 256)
+        tot = lens.astype(np.float64)
+        present = np.flatnonzero(lens > 0)
+        p = counts[present] / tot[present, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(p > 0, p * np.log(p), 0.0)
+        h = -terms.sum(axis=1)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_chars": pa.array(lens[present].astype(np.int64)),
+                "char_entropy": pa.array(round_half_away(h, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1874,3 +1874,20 @@ SELECT source_a, source_b,
          AS js
 FROM pairs GROUP BY 1, 2
 """
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+), cc AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cn FROM ch GROUP BY 1, 2
+), tt AS (
+  SELECT doc_id, CAST(sum(cn) AS BIGINT) AS tot FROM cc GROUP BY 1
+)
+SELECT doc_id, tot AS n_chars,
+       round(-sum((CAST(cn AS DOUBLE) / tot) * ln(CAST(cn AS DOUBLE) / tot)), 6)
+         AS char_entropy
+FROM cc JOIN tt USING (doc_id)
+GROUP BY doc_id, tot
+"""

@@ -1477,3 +1477,89 @@ ORDER BY sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGIN
          c.c_custkey
 LIMIT {RETITEM_K}
 """
+
+
+# -- Q2 shape: argmin-per-group (cheapest supplier per part) ------------------
+
+
+def q_min_price_supplier(sf_dir: str):
+    """Cheapest observed supplier per part (TPC-H Q2's min-cost-supplier
+    shape over the tables this corpus has): per ``l_partkey``, the supplier
+    with the minimal fixed-point unit price (``extendedprice/quantity``),
+    ties broken on the smaller suppkey — the argmin-per-group pattern that
+    a naive min()-join gets wrong. Emits (p_partkey, s_suppkey, price).
+
+    Scale design: per-batch LOCAL argmin per part (a combiner — each batch
+    forwards at most one candidate row per part it touches) → one
+    partkey-bucket exchange → in-bucket argmin. Unit price is half-away
+    rounded to 10^-4 fixed-point int64 on both twins, so the ordering is
+    exact, never float-fuzzy.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ..functions.rounding import pc_round_half_away
+
+    def local_argmin(t: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc_round_half_away(
+                pc.multiply(
+                    pc.divide(t["l_extendedprice"], t["l_quantity"]),
+                    pa.scalar(10000.0),
+                ),
+                0,
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "part": t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "supp": t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "price": price.to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["part", "price", "supp"], kind="mergesort")
+        win = df.drop_duplicates("part", keep="first")
+        return pa.Table.from_pandas(win, preserve_index=False)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.select(["part"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(32)).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["part", "price", "supp"], kind="mergesort")
+        win = g.drop_duplicates("part", keep="first")
+        out = win.rename(
+            columns={"part": "p_partkey", "supp": "s_suppkey"}
+        )[["p_partkey", "s_suppkey", "price"]]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        )
+        .map_batches(local_argmin, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_MIN_PRICE_SUPPLIER = """
+WITH up AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+         CAST(l_suppkey AS BIGINT) AS s_suppkey,
+         CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT) AS price
+  FROM lineitem)
+SELECT p_partkey, s_suppkey, price FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_partkey ORDER BY price, s_suppkey) AS rk
+  FROM up)
+WHERE rk = 1
+"""
