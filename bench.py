@@ -109,6 +109,8 @@ QUERY_NAMES = [
     "r_returned_item_customers",
     "r_min_price_supplier",
     "t_char_entropy",
+    "t_type_token_ratio",
+    "v_bucket_balance",
     "v_response_latency",
     "mm_frame_sample",
     "e_user_sessions",

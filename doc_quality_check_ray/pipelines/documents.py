@@ -4320,3 +4320,39 @@ def q_char_entropy(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_type_token_ratio(sf_dir: str):
+    """Type–token ratio per document — the classic lexical-diversity meter
+    (low TTR = repetitive text; complements the Gopher repetition gates).
+    Emits (doc_id, n_tokens, n_types, ttr) for non-blank documents.
+
+    One embarrassingly parallel pass: distinct-type counts fall out of one
+    lexsort + run-boundary count over the flat token-hash array (the TF-IDF
+    pattern); ttr divides the two exact ints, round-6 both twins.
+    """
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks, row_of, n_per_row, ids = _doc_token_hashes(t)
+        present = np.flatnonzero(n_per_row > 0)
+        types = np.zeros(len(n_per_row), dtype=np.int64)
+        if len(toks):
+            order = np.lexsort((toks, row_of))
+            r, v = row_of[order], toks[order]
+            new_run = np.ones(len(r), dtype=bool)
+            new_run[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+            types = np.bincount(r[new_run], minlength=len(n_per_row)).astype(np.int64)
+        ttr = types[present] / n_per_row[present]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_tokens": pa.array(n_per_row[present]),
+                "n_types": pa.array(types[present]),
+                "ttr": pa.array(round_half_away(ttr, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1891,3 +1891,35 @@ SELECT doc_id, tot AS n_chars,
 FROM cc JOIN tt USING (doc_id)
 GROUP BY doc_id, tot
 """
+
+
+SQL_TYPE_TOKEN_RATIO = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+       round(CAST(count(DISTINCT t) AS DOUBLE) / count(*), 6) AS ttr
+FROM tok GROUP BY doc_id
+"""
+
+
+def sql_bucket_balance(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of ``validate.q_bucket_balance``: first md5 hex digit of the
+    conv_id as the 16-way bucket."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT CAST(CASE substr(md5(conv_id), 1, 1)
+        WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12
+        WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+        ELSE CAST(substr(md5(conv_id), 1, 1) AS INTEGER) END AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM transcripts
+GROUP BY 1
+"""
+    )

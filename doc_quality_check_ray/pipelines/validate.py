@@ -1156,3 +1156,65 @@ def q_conversation_profile(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         },
         num_buckets=64,
     )
+
+
+def q_bucket_balance(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Partition-skew observability — the report that makes "partitioning /
+    shuffle / skew handled explicitly" inspectable: assign every turn to a
+    16-way conversation bucket by the first hex digit of md5(conv_id) (a
+    DuckDB-reproducible stand-in for the engine's exchange hash) and emit
+    per-bucket (bucket, n_rows, n_convs). A hot conversation shows up as a
+    bucket whose n_rows outruns its n_convs share.
+
+    Combiner-shaped: per-batch per-bucket (rows, distinct-conv partials as
+    (bucket, conv) pairs) → one tiny keyed exchange. Distinct convs per
+    bucket are exact via the (bucket, conv) dedup exchange — conv_ids never
+    leave as raw rows, only as distinct pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_fingerprints
+
+    ds = derive_transcripts(sf_dir).select_columns(["conv_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        convs = conv.to_pylist()
+        first_hex = np.array(
+            [int(fp[0], 16) for fp in md5_fingerprints(convs)], dtype=np.int64
+        )
+        df = pl.DataFrame({"bkt": first_hex, "conv_id": convs})
+        agg = df.group_by(["bkt", "conv_id"]).agg(n_rows=pl.len().cast(pl.Int64))
+        return agg.to_arrow()
+
+    per_conv = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bkt", "conv_id"],
+        {"n_rows": ("n_rows", "sum")},
+        num_buckets=8,
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bkt", sort=False, as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_convs=("conv_id", "size")
+        )
+        out = out.rename(columns={"bkt": "bucket"})
+        for c in ("bucket", "n_rows", "n_convs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def bucketize2(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "b2", pc.cast(pc.bit_wise_and(t["bkt"], 3), pa.int64())
+        )
+
+    return (
+        per_conv.map_batches(bucketize2, batch_format="pyarrow")
+        .groupby("b2")
+        .map_groups(rollup, batch_format="pandas")
+    )
