@@ -4356,3 +4356,80 @@ def q_type_token_ratio(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot delta detection — what changed between two corpus versions
+    (the incremental-ingest audit): version 2 is derived in-query from the
+    corpus (every doc_id % 13 == 0 is dropped; every remaining % 17 == 0 is
+    edited), and the diff classifies each doc_id as ``removed``,
+    ``modified``, or ``unchanged`` (additions would surface symmetrically).
+    Emits (doc_id, change) for removed/modified docs.
+
+    Scale shape: both versions ship only (doc_id, md5-fingerprint, side)
+    triples — raw text never moves; one doc_id-keyed bucket exchange
+    compares fingerprints per key vectorized. This is the two-sided
+    generalization of the decontamination anti-join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_fingerprints
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        i = ids.to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t["text"], "")
+        v1 = pa.table(
+            {
+                "doc_id": ids,
+                "fp": pa.array(md5_fingerprints(text.to_pylist()), pa.string()),
+                "side": pa.array(np.zeros(len(i), dtype=np.int8)),
+            }
+        )
+        keep = pa.array(i % 13 != 0)
+        ids2 = ids.filter(keep)
+        i2 = i[i % 13 != 0]
+        t2 = pc.binary_join_element_wise(
+            text.filter(keep),
+            pc.if_else(pa.array(i2 % 17 == 0), " v2", ""),
+            "",
+        )
+        v2 = pa.table(
+            {
+                "doc_id": ids2,
+                "fp": pa.array(md5_fingerprints(t2.to_pylist()), pa.string()),
+                "side": pa.array(np.ones(len(i2), dtype=np.int8)),
+            }
+        )
+        return pa.concat_tables([v1, v2])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["doc_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(32)).astype(np.int64))
+        )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_id", "fp"]]
+        b = g[g["side"] == 1][["doc_id", "fp"]]
+        j = a.merge(b, on="doc_id", how="left", suffixes=("_a", "_b"))
+        removed = j["fp_b"].isna()
+        modified = (~removed) & (j["fp_a"] != j["fp_b"])
+        out = pd.DataFrame(
+            {
+                "doc_id": j["doc_id"].astype("int64"),
+                "change": np.where(removed, "removed", "modified"),
+            }
+        )
+        return out[removed | modified]
+
+    return (
+        _docs(sf_dir)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(diff, batch_format="pandas")
+    )

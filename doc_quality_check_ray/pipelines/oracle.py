@@ -1923,3 +1923,15 @@ FROM transcripts
 GROUP BY 1
 """
     )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v2 AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 17 = 0 THEN ' v2' ELSE '' END AS text
+  FROM documents WHERE doc_id % 13 <> 0)
+SELECT d.doc_id,
+       CASE WHEN v2.doc_id IS NULL THEN 'removed' ELSE 'modified' END AS change
+FROM documents d LEFT JOIN v2 USING (doc_id)
+WHERE v2.doc_id IS NULL OR md5(d.text) <> md5(v2.text)
+"""
