@@ -1935,3 +1935,34 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN v2 USING (doc_id)
 WHERE v2.doc_id IS NULL OR md5(d.text) <> md5(v2.text)
 """
+
+
+def sql_training_examples(
+    max_tokens: int = 48, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> str:
+    """Twin of ``validate.q_training_examples``: string_agg ordered by
+    (turn_idx, ts, line), trim-then-regex-split tokens, list-slice
+    truncation."""
+    return (
+        TRANSCRIPTS_CTE
+        + rf"""
+, lines AS (
+  SELECT conv_id, turn_idx, ts,
+         coalesce(role, '') || ': ' || text AS line
+  FROM transcripts WHERE text IS NOT NULL
+), asm AS (
+  SELECT conv_id,
+         string_agg(line, chr(10) ORDER BY turn_idx, ts, line) AS fulltext
+  FROM lines GROUP BY conv_id
+), tk AS (
+  SELECT conv_id,
+         string_split_regex(regexp_replace(regexp_replace(fulltext, '^\s+', ''),
+                                           '\s+$', ''), '\s+') AS ts
+  FROM asm
+)
+SELECT conv_id, CAST(len(ts) AS BIGINT) AS n_tokens_full,
+       CAST(least(len(ts), {max_tokens}) AS BIGINT) AS n_tokens_kept,
+       array_to_string(ts[1:{max_tokens}], ' ') AS example
+FROM tk
+"""
+    )

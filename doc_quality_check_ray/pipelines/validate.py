@@ -1218,3 +1218,81 @@ def q_bucket_balance(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         .groupby("b2")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+TRAIN_EXAMPLE_MAX_TOKENS = 48
+
+
+def q_training_examples(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Chat-formatted training-example assembly — the transcript capstone:
+    each conversation becomes one ``role: text`` line per non-null turn in
+    stable (turn_idx, ts, line) order, newline-joined, then truncated to
+    the first ``TRAIN_EXAMPLE_MAX_TOKENS`` whitespace tokens (context-window
+    budgeting). Emits (conv_id, n_tokens_full, n_tokens_kept, example).
+
+    Two stages: the conv-keyed assembly exchange (``q_conversation_texts``
+    shape, with the line string itself as the order tie-break so duplicate
+    keys with differing payloads still order identically on both twins),
+    then an embarrassingly parallel vectorized truncation pass (regex
+    split → list_slice → binary_join — no Python rows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = t.filter(pc.is_valid(t["text"]))
+        line = pc.binary_join_element_wise(
+            pc.fill_null(t["role"], ""), ": ", t["text"], ""
+        )
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=29).to_numpy()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "ts": t["ts"],
+                "line": line,
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "ts", "line"], kind="mergesort")
+        out = (
+            g.groupby("conv_id", sort=False)["line"]
+            .agg(lambda s: "\n".join(s))
+            .rename("full")
+        )
+        return out.reset_index()
+
+    assembled = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+    def truncate(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["full"]), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_full = pc.cast(pc.list_value_length(toks), pa.int64())
+        sliced = pc.list_slice(toks, 0, TRAIN_EXAMPLE_MAX_TOKENS)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_tokens_full": n_full,
+                "n_tokens_kept": pc.min_element_wise(
+                    n_full, pa.scalar(TRAIN_EXAMPLE_MAX_TOKENS, pa.int64())
+                ),
+                "example": pc.binary_join(sliced, " "),
+            }
+        )
+
+    return assembled.map_batches(truncate, batch_format="pyarrow", zero_copy_batch=True)
