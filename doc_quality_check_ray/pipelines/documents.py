@@ -4433,3 +4433,47 @@ def q_snapshot_diff(sf_dir: str):
         .groupby("bucket")
         .map_groups(diff, batch_format="pandas")
     )
+
+
+def q_compression_ratio(sf_dir: str):
+    """Compression-ratio quality proxy (RefinedWeb/Dolma-style): zlib level-6
+    compressed size over raw size per document — repetitive/templated text
+    compresses far below prose, random junk barely compresses. Emits
+    (doc_id, raw_len, comp_len, ratio) for non-empty documents; ratio
+    rounded to 6 per the house convention.
+
+    No SQL analog (DuckDB has no zlib scalar), so this is a rows-only query
+    pinned by unit tests (``tests/test_docops.py``): deterministic output
+    (zlib level fixed), monotone sanity (repeated text compresses below a
+    shuffled copy). Per-row zlib is a bounded C call (the md5 argument);
+    the pass is embarrassingly parallel with no exchange.
+    """
+    import zlib
+
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        vals = text.to_pylist()
+        raw = np.array([len(v.encode("utf-8")) for v in vals], dtype=np.int64)
+        comp = np.array(
+            [len(zlib.compress(v.encode("utf-8"), 6)) for v in vals],
+            dtype=np.int64,
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = raw > 0
+        from ..functions.rounding import round_half_away
+
+        ratio = comp[keep] / raw[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "raw_len": pa.array(raw[keep]),
+                "comp_len": pa.array(comp[keep]),
+                "ratio": pa.array(round_half_away(ratio, 6), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

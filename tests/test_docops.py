@@ -192,3 +192,22 @@ def test_domain_stats_plants(sf_dir):
     assert org["n_urls"].sum() == 100  # 500/5 docs planted one URL each
     assert net["n_urls"].sum() == 34  # ceil(500/15) plants
     assert (d["n_docs"] <= d["n_urls"]).all()
+
+
+def test_compression_ratio_pinned(sf_dir):
+    """zlib level-6 is deterministic; repetitive text compresses harder."""
+    import zlib
+
+    from doc_quality_check_ray.pipelines.documents import q_compression_ratio
+
+    out = q_compression_ratio(sf_dir).to_pandas().set_index("doc_id")
+    assert (out["ratio"] > 0).all() and (out["comp_len"] > 0).all()
+    # pin one row against a direct zlib call
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas().set_index("doc_id")
+    d0 = docs.iloc[0]
+    raw = d0["text"].encode("utf-8")
+    assert out.loc[docs.index[0], "comp_len"] == len(zlib.compress(raw, 6))
+    # word-salad corpus still compresses well below 1.0
+    assert out["ratio"].median() < 0.7
