@@ -1966,3 +1966,18 @@ SELECT conv_id, CAST(len(ts) AS BIGINT) AS n_tokens_full,
 FROM tk
 """
     )
+
+
+def sql_conversation_digest(cfg: ValidationConfig = DEFAULT_CONFIG) -> str:
+    """Twin of ``validate.q_conversation_digest``: md5 of the ordered
+    assembly with the text itself as the final order tie-break; all-null
+    conversations digest ''."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       md5(coalesce(string_agg(text, ' ' ORDER BY turn_idx, ts, text), ''))
+         AS digest
+FROM transcripts GROUP BY conv_id
+"""
+    )

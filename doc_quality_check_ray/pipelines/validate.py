@@ -1296,3 +1296,55 @@ def q_training_examples(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         )
 
     return assembled.map_batches(truncate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_conversation_digest(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Per-conversation integrity digest — the driver-visible form of the
+    north-rule per-turn text-equality invariant: md5 of the conversation's
+    ordered text assembly, so two runs (or two engines) agree on a
+    conversation iff their digests match. Emits (conv_id, n_turns, digest).
+
+    Composes the ordered-assembly exchange with one md5 per conversation
+    (C-backed, one call per GROUP, not per row). Null turns are skipped in
+    the assembly exactly as ``string_agg`` does; all-null conversations
+    digest the empty string on both twins.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=29).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def digest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "ts", "text"], kind="mergesort")
+
+        def agg(s: pd.Series):
+            vals = s.dropna()
+            joined = " ".join(vals) if len(vals) else ""
+            return pd.Series(
+                {
+                    "n_turns": np.int64(len(s)),
+                    "digest": hashlib.md5(joined.encode("utf-8")).hexdigest(),
+                }
+            )
+
+        out = g.groupby("conv_id", sort=False)["text"].apply(agg).unstack()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out.reset_index()
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(digest, batch_format="pandas")
+    )
