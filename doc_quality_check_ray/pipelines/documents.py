@@ -3519,7 +3519,6 @@ def q_bigram_logprob(sf_dir: str):
                 n_per_row,
                 ids,
             )
-        adj = (len(toks) > 1) and True
         same_row = row_of[1:] == row_of[:-1]
         h1, h2 = toks[:-1][same_row], toks[1:][same_row]
         brow = row_of[:-1][same_row]
