@@ -515,3 +515,64 @@ SELECT f.cohort_day,
 FROM events e JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def q_user_arrival_rate(sf_dir: str):
+    """Per-user mean inter-event time — arrival-rate estimation, exact from
+    a pure combiner: the gaps telescope, so ``mean_gap = (max_ts − min_ts) /
+    (n − 1)`` needs only (min, max, count) per user — no ordering, no
+    per-event state, fully mergeable. Emits (user_id, n_events,
+    span_us, mean_gap_us) for users with ≥ 2 events; all-integer µs except
+    the one final division, written identically on both twins.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "user_id": pl.from_arrow(
+                    t["user_id"].combine_chunks()
+                    if isinstance(t["user_id"], pa.ChunkedArray)
+                    else t["user_id"]
+                ),
+                "ts_us": pl.from_arrow(pc.cast(t["ts"], pa.int64())),
+            }
+        )
+        return df.group_by("user_id").agg(
+            n=pl.len().cast(pl.Int64),
+            lo=pl.col("ts_us").min(),
+            hi=pl.col("ts_us").max(),
+        ).to_arrow()
+
+    merged = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        {"n": ("n", "sum"), "lo": ("lo", "min"), "hi": ("hi", "max")},
+        num_buckets=16,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= 2
+        span = hi[keep] - lo[keep]
+        mean_gap = round_half_away(span / (n[keep] - 1).astype(np.float64), 6)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep].astype(np.int64)),
+                "n_events": pa.array(n[keep]),
+                "span_us": pa.array(span),
+                "mean_gap_us": pa.array(mean_gap, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)

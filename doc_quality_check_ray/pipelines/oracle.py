@@ -1981,3 +1981,15 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
 FROM transcripts GROUP BY conv_id
 """
     )
+
+
+SQL_USER_ARRIVAL_RATE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us,
+       round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+             / (count(*) - 1), 6) AS mean_gap_us
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 2
+"""
