@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "r_banded_revenue",
     "r_returned_item_customers",
     "r_min_price_supplier",
+    "r_dormant_rich_customers",
     "t_char_entropy",
     "t_type_token_ratio",
     "v_bucket_balance",

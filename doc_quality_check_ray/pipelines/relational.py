@@ -1563,3 +1563,158 @@ SELECT p_partkey, s_suppkey, price FROM (
   FROM up)
 WHERE rk = 1
 """
+
+
+# -- Q22 shape: scalar-subquery threshold + anti-join -------------------------
+
+DORMANT_CUTOFF = datetime.datetime(2001, 1, 1)
+
+
+def q_dormant_rich_customers(sf_dir: str):
+    """Dormant high-balance customers by nation (TPC-H Q22 shape — the
+    scalar-subquery + anti-join pattern): customers whose positive account
+    balance beats the corpus average AND who placed no order on/after the
+    cutoff, rolled up per nation as (n_name, n_custs, total_acctbal).
+
+    Exactness: balances are ×100 fixed-point int64 and the above-average
+    test is the integer cross-multiplication ``bal·count > sum`` — no float
+    threshold ever compared. Scale design: the average is ONE combiner
+    scalar; recent orders ship only distinct custkeys (per-batch dedup
+    combiner); one custkey-bucket exchange anti-joins; per-nation partials
+    merge at the driver and resolve names via broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    num_buckets = 32
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    from ..functions.rounding import pc_round_half_away
+
+    bal_all = pc.cast(
+        pc_round_half_away(pc.multiply(cust["c_acctbal"], 100.0), 0), pa.int64()
+    )
+    pos = pc.greater(cust["c_acctbal"], 0.0)
+    bal_pos = bal_all.filter(pos)
+    sb = pc.sum(bal_pos).as_py() or 0
+    nb = len(bal_pos)
+
+    fp = pa.table(
+        {
+            "cust": pc.cast(cust["c_custkey"], pa.int64()),
+            "nat": pc.cast(cust["c_nationkey"], pa.int64()),
+            "bal": bal_all,
+        }
+    ).filter(pos)
+    rich = fp.filter(
+        pc.greater(pc.multiply(fp["bal"], pa.scalar(nb, pa.int64())), sb)
+    )
+    rich_ds = ray.data.from_arrow(
+        rich.append_column(
+            "__side", pa.array(np.ones(rich.num_rows, dtype=np.int8))
+        )
+    )
+
+    def _bucketed(keys: pa.Array) -> pa.Array:
+        h = pl.from_arrow(pa.table({"k": keys})).hash_rows(seed=11).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(DORMANT_CUTOFF)))
+        ck = pc.cast(t["o_custkey"], pa.int64())
+        u = pa.table({"cust": ck}).group_by("cust").aggregate([])
+        n = u.num_rows
+        return pa.table(
+            {
+                "cust": u["cust"],
+                "nat": pa.nulls(n, pa.int64()),
+                "bal": pa.nulls(n, pa.int64()),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _bucketed(t["cust"]))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        active = set(g.loc[g["__side"] == 0, "cust"])
+        keep = g[(g["__side"] == 1) & ~g["cust"].isin(active)]
+        if keep.empty:
+            return pd.DataFrame(
+                {
+                    "nat": pd.array([], dtype="int64"),
+                    "n_custs": pd.array([], dtype="int64"),
+                    "bal": pd.array([], dtype="int64"),
+                }
+            )
+        out = keep.groupby("nat", as_index=False).agg(
+            n_custs=("cust", "size"), bal=("bal", "sum")
+        )
+        for c in ("nat", "n_custs", "bal"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        rich_ds.union(orders)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_of = dict(
+        zip(
+            pc.cast(nation["n_nationkey"], pa.int64()).to_pylist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    if parts.empty:
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "n_custs": pa.array([], pa.int64()),
+                "total_acctbal": pa.array([], pa.float64()),
+            }
+        )
+    merged = parts.groupby("nat", as_index=False).agg(
+        n_custs=("n_custs", "sum"), bal=("bal", "sum")
+    )
+    merged["n_name"] = merged["nat"].map(name_of)
+    merged = merged.sort_values("n_name", ignore_index=True)
+    return pa.table(
+        {
+            "n_name": pa.array(merged["n_name"], pa.string()),
+            "n_custs": pa.array(merged["n_custs"].astype("int64")),
+            "total_acctbal": pa.array(
+                merged["bal"].astype("int64") / 100.0, pa.float64()
+            ),
+        }
+    )
+
+
+SQL_DORMANT_RICH_CUSTOMERS = f"""
+WITH fp AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cust, CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer WHERE c_acctbal > 0),
+s AS (SELECT CAST(sum(bal) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS nb FROM fp)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(fp.bal) AS BIGINT) / 100.0 AS total_acctbal
+FROM fp JOIN nation n ON fp.nat = n.n_nationkey CROSS JOIN s
+WHERE fp.bal * s.nb > s.sb
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = fp.cust
+                    AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF:%Y-%m-%d}')
+GROUP BY 1
+"""
