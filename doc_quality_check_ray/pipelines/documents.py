@@ -4476,3 +4476,41 @@ def q_compression_ratio(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+IVF_SWEEP_PROBES = (1, 2, 4, 6, 8)
+
+
+def q_ivf_probe_sweep(sf_dir: str):
+    """IVF tuning curve — recall vs ``n_probe`` against the exact kNN
+    ground truth, one row per probe count: the artifact an operator reads
+    to pick the recall/latency point before scaling the index out. The
+    curve is monotone nondecreasing by construction, so a broken probe
+    order or cluster assignment shows up as an inversion.
+
+    Rows-only (iterative k-means has no SQL analog) — but the ground truth
+    is the exact brute-force kNN, computed once and reused across the
+    sweep.
+    """
+    import pandas as pd
+
+    def edges(t: pa.Table) -> set:
+        return set(zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist()))
+
+    exact = edges(knn_brute_force(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K))
+    rows = []
+    for p in IVF_SWEEP_PROBES:
+        approx = edges(ivf_knn(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K, n_probe=p))
+        hit = len(exact & approx)
+        rows.append(
+            {
+                "n_probe": p,
+                "n_exact": len(exact),
+                "n_hit": hit,
+                "recall": round(hit / len(exact), 6) if exact else 1.0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    for c in ("n_probe", "n_exact", "n_hit"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
