@@ -1150,8 +1150,9 @@ def q_shipmode_priority(sf_dir: str):
                     "low_line_count": pd.array([], dtype="int64"),
                 }
             )
+        # dropna=False: a null return flag is a real group (DuckDB semantics)
         out = (
-            j.groupby("flag", sort=False)["is_high"]
+            j.groupby("flag", sort=False, dropna=False)["is_high"]
             .agg(high_line_count="sum", low_line_count=lambda s: int((1 - s).sum()))
             .reset_index()
             .rename(columns={"flag": "l_returnflag"})
@@ -1174,7 +1175,7 @@ def q_shipmode_priority(sf_dir: str):
         .map_groups(local_join, batch_format="pandas")
         .to_pandas()
     )
-    merged = parts.groupby("l_returnflag", as_index=False)[
+    merged = parts.groupby("l_returnflag", as_index=False, dropna=False)[
         ["high_line_count", "low_line_count"]
     ].sum()
     merged = merged.sort_values("l_returnflag", ignore_index=True)
