@@ -1579,10 +1579,14 @@ def q_dormant_rich_customers(sf_dir: str):
 
     Exactness: balances are ×100 fixed-point int64 and the above-average
     test is the integer cross-multiplication ``bal·count > sum`` — no float
-    threshold ever compared. Scale design: the average is ONE combiner
-    scalar; recent orders ship only distinct custkeys (per-batch dedup
-    combiner); one custkey-bucket exchange anti-joins; per-nation partials
-    merge at the driver and resolve names via broadcast.
+    threshold ever compared. Scale design: customer is the dimension-scale
+    side here (the Q5/Q7 lookup convention), read once driver-side for the
+    balance scalar and the rich filter; recent orders ship only distinct
+    custkeys (per-batch dedup combiner); one custkey-bucket exchange
+    anti-joins; per-nation partials merge at the driver and resolve names
+    via broadcast. If customers outgrow the driver, the scalar lifts to a
+    combiner and the rich filter moves into the scan — the exchange shape
+    is unchanged.
     """
     import numpy as np
     import pandas as pd
