@@ -4164,11 +4164,20 @@ def q_source_js_divergence(sf_dir: str, v: int = JS_VOCAB_V):
             )
         pos = np.minimum(np.searchsorted(vh_sorted, toks), len(vh_sorted) - 1)
         cat = np.where(vh_sorted[pos] == toks, pos, len(vh_sorted)).astype(np.int64)
-        df = pl.DataFrame({"source": src_np[row_of], "cat": cat})
-        return (
-            df.group_by(["source", "cat"])
-            .agg(n=pl.len().cast(pl.Int64))
-            .to_arrow()
+        # per-token python objects never materialize: factorize the (per-row)
+        # source column, then ONE bincount over source_idx*(V+1)+cat
+        uniq_src, src_idx = np.unique(src_np, return_inverse=True)
+        k = len(vh_sorted) + 1
+        counts_mat = np.bincount(
+            src_idx[row_of] * k + cat, minlength=len(uniq_src) * k
+        ).reshape(len(uniq_src), k)
+        si, ci = np.nonzero(counts_mat)
+        return pa.table(
+            {
+                "source": pa.array(uniq_src[si], pa.string()),
+                "cat": pa.array(ci.astype(np.int64)),
+                "n": pa.array(counts_mat[si, ci].astype(np.int64)),
+            }
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
