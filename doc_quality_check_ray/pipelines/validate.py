@@ -1185,9 +1185,11 @@ def q_bucket_balance(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
         if isinstance(conv, pa.ChunkedArray):
             conv = conv.combine_chunks()
         convs = conv.to_pylist()
-        first_hex = np.array(
-            [int(fp[0], 16) for fp in md5_fingerprints(convs)], dtype=np.int64
-        )
+        # vectorized hex-digit decode: truncate each fp to its first byte
+        first = np.array(md5_fingerprints(convs), dtype="S1").view(np.uint8)
+        first_hex = np.where(
+            first >= ord("a"), first - ord("a") + 10, first - ord("0")
+        ).astype(np.int64)
         df = pl.DataFrame({"bkt": first_hex, "conv_id": convs})
         agg = df.group_by(["bkt", "conv_id"]).agg(n_rows=pl.len().cast(pl.Int64))
         return agg.to_arrow()
