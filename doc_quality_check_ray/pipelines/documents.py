@@ -4301,6 +4301,14 @@ def q_char_entropy(sf_dir: str):
         text = pc.fill_null(t["text"], "")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        if len(text) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "char_entropy": pa.array([], pa.float64()),
+                }
+            )
         offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
             text.offset : text.offset + len(text) + 1
         ].astype(np.int64)
