@@ -50,3 +50,22 @@ def test_append_suffix_is_its_length():
     texts = ["hello world this is a doc", "short"]
     twins = [t + " near copy." for t in texts]
     assert list(levenshtein_batch(texts, twins)) == [11, 11]
+
+
+def test_metric_axioms_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.text(alphabet="ab c", max_size=24)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts, texts, texts)
+    def check(a, b, c):
+        dab, dba, dac, dbc, daa = levenshtein_batch(
+            [a, b, a, b, a], [b, a, c, c, a]
+        )
+        assert daa == 0
+        assert dab == dba
+        assert dac <= dab + dbc  # triangle inequality
+
+    check()
