@@ -109,6 +109,10 @@ QUERY_NAMES = [
     "r_returned_item_customers",
     "r_min_price_supplier",
     "r_dormant_rich_customers",
+    "v_training_examples",
+    "v_conversation_digest",
+    "d_snapshot_diff",
+    "e_user_arrival_rate",
     "t_char_entropy",
     "t_type_token_ratio",
     "v_bucket_balance",
