@@ -51,6 +51,7 @@ QUERY_NAMES = [
     "t_token_entropy",
     "t_tfidf_top_terms",
     "d_epoch_shuffle",
+    "d_curriculum_order",
     "e_signup_attribution",
     "t_repetition_scores",
     "t_unigram_logprob",

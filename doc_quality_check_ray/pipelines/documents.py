@@ -4531,3 +4531,97 @@ def q_ivf_probe_sweep(sf_dir: str):
     for c in ("n_probe", "n_exact", "n_hit"):
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+CURRICULUM_SEED = "cur1:"
+
+
+def q_curriculum_order(sf_dir: str):
+    """Deterministic curriculum ordering — the easy-first training schedule:
+    every document gets a verifiable global position ordered by quality
+    score DESC, then a seeded md5 rank (so equal-quality docs shuffle
+    reproducibly), then doc_id. Emits (doc_id, score, pos).
+
+    No sort shuffle (the ``d_epoch_shuffle`` construction, composed with the
+    quality band as the leading key): the global order's range partition is
+    (score band, digest's top-6-bits); per-batch (band, rb) counts → a tiny
+    exchange → driver exclusive-cumsum in (band DESC, rb ASC) order →
+    one group-keyed exchange where each (band, rb) range sorts locally and
+    assigns ``offset + local rank``. Only (doc_id, band, hi, lo) moves.
+    The integer band ``rint(round(score,6)·10⁶)`` orders exactly as the
+    rounded score the oracle sorts on (monotone and injective on 6-dp
+    values).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import textstats as _ts
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+    from ..functions.rounding import round_half_away
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score6 = round_half_away(_ts.quality_scores(t["text"]), 6)
+        band = np.rint(score6 * 1e6).astype(np.int64)
+        dg = md5_digests_of_prefixed_ints(
+            CURRICULUM_SEED.encode(), ids.astype(np.uint64)
+        )
+        hi = dg[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        lo = dg[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+        rb = (hi >> np.uint64(58)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "score": pa.array(score6, pa.float64()),
+                "band": pa.array(band),
+                "gk": pa.array(band * 64 + rb),
+                "rb": pa.array(rb),
+                "hi": pa.array(hi, pa.uint64()),
+                "lo": pa.array(lo, pa.uint64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["gk", "band", "rb"])
+            .group_by(["gk", "band", "rb"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["gk", "band", "rb", "n"])
+        )
+
+    counts = (
+        hash_bucket_aggregate(
+            keyed_ds.map_batches(count_partial, batch_format="pyarrow"),
+            ["gk", "band", "rb"],
+            {"n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["band", "rb"], ascending=[False, True], ignore_index=True)
+    )
+    offsets = dict(
+        zip(
+            counts["gk"],
+            np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]),
+        )
+    )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hi", "lo", "doc_id"], kind="mergesort")
+        base = offsets[int(g["gk"].iloc[0])]
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "score": g["score"],
+                "pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+        return out
+
+    return keyed_ds.groupby("gk").map_groups(assign, batch_format="pandas")

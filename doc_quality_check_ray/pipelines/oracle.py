@@ -1993,3 +1993,17 @@ FROM events
 GROUP BY user_id
 HAVING count(*) >= 2
 """
+
+
+def sql_curriculum_order(seed: str = "cur1:") -> str:
+    """Twin of ``documents.q_curriculum_order``: row_number over
+    (score DESC, seeded md5, doc_id), zero-based."""
+    expr = ts.sql_quality_score_expr("text")
+    return f"""
+WITH s AS (SELECT doc_id, round({expr}, 6) AS score FROM documents)
+SELECT doc_id, score,
+       CAST(row_number() OVER (
+         ORDER BY score DESC, md5('{seed}' || doc_id), doc_id) - 1 AS BIGINT)
+         AS pos
+FROM s
+"""
