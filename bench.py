@@ -52,6 +52,7 @@ QUERY_NAMES = [
     "t_tfidf_top_terms",
     "d_epoch_shuffle",
     "d_curriculum_order",
+    "d_interleave_sources",
     "e_signup_attribution",
     "t_repetition_scores",
     "t_unigram_logprob",

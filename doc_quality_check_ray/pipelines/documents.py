@@ -4625,3 +4625,121 @@ def q_curriculum_order(sf_dir: str):
         return out
 
     return keyed_ds.groupby("gk").map_groups(assign, batch_format="pandas")
+
+
+INTERLEAVE_SEED = "il1:"
+
+
+def q_interleave_sources(sf_dir: str):
+    """Deterministic source interleaving — the data-loader mixing step:
+    every document gets a round-robin slot ``rank_in_source · K + src_idx``
+    (K sources, seeded-md5 rank within each source), so a loader reading
+    slots in order alternates sources 1-1-1 until a source exhausts.
+    Emits (doc_id, source, slot); slots are unique and verifiable, with
+    gaps after the shortest source runs out (the standard interleave
+    contract).
+
+    Third use of the shuffle-free position construction (epoch shuffle,
+    curriculum): per-batch (source, rb) counts → tiny exchange → driver
+    per-source exclusive-cumsum over digest-range buckets → one group-keyed
+    exchange assigning local ranks. Only fixed-width keys move.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = md5_digests_of_prefixed_ints(
+            INTERLEAVE_SEED.encode(), ids.astype(np.uint64)
+        )
+        hi = dg[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        lo = dg[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
+        rb = (hi >> np.uint64(58)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": t["source"],
+                "rb": pa.array(rb),
+                "hi": pa.array(hi, pa.uint64()),
+                "lo": pa.array(lo, pa.uint64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["source", "rb"])
+            .group_by(["source", "rb"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "rb", "n"])
+        )
+
+    counts = (
+        hash_bucket_aggregate(
+            keyed_ds.map_batches(count_partial, batch_format="pyarrow"),
+            ["source", "rb"],
+            {"n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["source", "rb"], ignore_index=True)
+    )
+    sources = sorted(counts["source"].unique())
+    k = len(sources)
+    sidx = {s: i for i, s in enumerate(sources)}
+    offsets = {}
+    for s in sources:
+        sub = counts[counts["source"] == s]
+        offs = np.concatenate([[0], np.cumsum(sub["n"].to_numpy())[:-1]])
+        for rb, off in zip(sub["rb"], offs):
+            offsets[(s, int(rb))] = int(off)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hi", "lo", "doc_id"], kind="mergesort")
+        s = g["source"].iloc[0]
+        base = offsets[(s, int(g["rb"].iloc[0]))]
+        rank = base + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "source": g["source"],
+                "slot": rank * k + sidx[s],
+            }
+        )
+
+    def gk(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["source", "rb"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(256)).astype(np.int64))
+        )
+
+    # (source, rb) groups must land whole: bucket by their hash, then group
+    # by the composite inside — map_groups on the pair via two-level key
+    return (
+        keyed_ds.map_batches(gk, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pd.concat(
+                [assign(sub) for _, sub in g.groupby(["source", "rb"], sort=False)],
+                ignore_index=True,
+            )
+            if len(g)
+            else pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "source": pd.array([], dtype="object"),
+                    "slot": pd.array([], dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )

@@ -2007,3 +2007,20 @@ SELECT doc_id, score,
          AS pos
 FROM s
 """
+
+
+def sql_interleave_sources(seed: str = "il1:") -> str:
+    """Twin of ``documents.q_interleave_sources``: per-source seeded-md5
+    rank, dense source index, slot = rank·K + idx."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('{seed}' || doc_id), doc_id) - 1 AS rk,
+         dense_rank() OVER (ORDER BY source) - 1 AS sidx
+  FROM documents),
+k AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k FROM documents)
+SELECT doc_id, source, CAST(rk * k.k + sidx AS BIGINT) AS slot
+FROM r CROSS JOIN k
+"""
