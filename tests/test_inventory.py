@@ -1,0 +1,44 @@
+"""Inventory discipline: every driver query either has a DuckDB oracle or
+is on the explicit rows-only allowlist (sketches/ANN + their meters, each
+justified in COVERAGE.md). A new query without an oracle must be added
+here deliberately — no silent no-oracle rows."""
+
+import importlib
+
+
+ROWS_ONLY_ALLOWLIST = {
+    # approximate operators (no SQL analog) ...
+    "d_minhash_pairs",
+    "d_simhash_pairs",
+    "d_winnow_pairs",
+    "d_lsh_near_dup",
+    "d_ivf_knn",
+    # ... their driver-visible accuracy meters (exact twin computed inside)
+    "d_minhash_recall",
+    "d_simhash_recall",
+    "d_winnow_recall",
+    "d_lsh_recall",
+    "d_ivf_recall",
+    "d_ivf_probe_sweep",
+    "d_edit_distance_recall",
+    # mergeable sketches with meters
+    "t_hll_distinct",
+    "d_bloom_decontaminate",
+    "t_heavy_hitters",
+    "t_heavy_hitters_recall",
+    # pytest-pinned (no SQL zlib)
+    "t_compression_ratio",
+}
+
+
+def test_every_query_is_oracle_backed_or_allowlisted():
+    m = importlib.import_module("__ray_entry__")
+    queries = set(m.queries())
+    oracles = set(m.oracle_sql())
+    assert oracles <= queries, sorted(oracles - queries)
+    missing = queries - oracles - ROWS_ONLY_ALLOWLIST
+    assert not missing, f"queries without oracle or allowlist entry: {sorted(missing)}"
+    stale = ROWS_ONLY_ALLOWLIST - queries
+    assert not stale, f"allowlist entries no longer in queries(): {sorted(stale)}"
+    overlap = ROWS_ONLY_ALLOWLIST & oracles
+    assert not overlap, f"allowlisted but actually oracle-backed: {sorted(overlap)}"
