@@ -4551,6 +4551,15 @@ def q_curriculum_order(sf_dir: str):
     The integer band ``rint(round(score,6)·10⁶)`` orders exactly as the
     rounded score the oracle sorts on (monotone and injective on 6-dp
     values).
+
+    Driver-state bound: the cumsum runs over OCCUPIED (band, rb) groups,
+    capped by the score domain — scores live in a bounded range, so ≤ ~10⁶
+    six-dp bands × 64 ranges regardless of corpus size (2.2 k occupied at
+    sf0.1). Past that comfort point the cumsum itself lifts to the
+    distributed prefix scan ``d_pack_chunks`` already implements; the
+    exchange shape is unchanged. The rb sub-split inside an equal-score
+    band is what keeps a hot score (10⁹ equal-score rows at design scale)
+    from pinning one reduce task.
     """
     import numpy as np
     import pandas as pd
