@@ -4651,7 +4651,9 @@ def q_interleave_sources(sf_dir: str):
     Third use of the shuffle-free position construction (epoch shuffle,
     curriculum): per-batch (source, rb) counts → tiny exchange → driver
     per-source exclusive-cumsum over digest-range buckets → one group-keyed
-    exchange assigning local ranks. Only fixed-width keys move.
+    exchange assigning local ranks. Only fixed-width keys move; the digest
+    range width (6 bits here) widens with cluster size exactly as
+    ``d_epoch_shuffle`` documents, bounding any one source's reduce tasks.
     """
     import numpy as np
     import pandas as pd
