@@ -27,7 +27,46 @@ def entry() -> Any:
     return V.q_all_violations("/root/testdata/sf0.001")
 
 
+#: Round-4 rotation of the driver's first-50 correctness sample. The driver
+#: oracle-checks only the FIRST 50 ``queries()`` entries, so each round the
+#: dict is reordered to surface oracle-backed queries the driver has not yet
+#: hash-verified (VERDICT r3 #2). This round: 47 locally-green, never
+#: driver-checked queries, plus the three connected-components consumers
+#: (refactored this round to the Dataset-valued label hand-off) so the
+#: refactor itself is driver-validated. Keys not listed keep their original
+#: relative order after these.
+_R4_FIRST_50 = [
+    "t_token_entropy", "t_tfidf_top_terms", "d_epoch_shuffle",
+    "d_curriculum_order", "d_interleave_sources", "d_token_budget_sample",
+    "d_split_leakage_safe", "d_label_centroids", "t_quality_gate",
+    "d_mix_manifest",
+    # CC-refactor validation (driver-checked green in r03; re-checked after
+    # the Dataset-valued connected-components hand-off)
+    "d_dup_components", "d_dup_cluster_sizes", "d_dedup_keep",
+    "d_substring_dup_docs", "t_domain_stats", "t_source_lang_rollup",
+    "t_len_zscores", "t_len_percentile_rank", "d_label_text_stats",
+    "e_cohort_retention", "t_distinct_terms", "t_pii_redact",
+    "t_c4_line_filter", "d_line_dedup", "d_snapshot_diff",
+    "t_keyword_in_context", "t_unicode_normalize", "t_len_token_corr",
+    "d_edit_distance_pairs", "d_bm25_topk", "t_repetition_scores",
+    "t_doc_filter_verdicts", "d_curate_keep", "t_unigram_logprob",
+    "t_bigram_logprob", "t_oov_rate", "t_ngram_novelty",
+    "t_source_js_divergence", "t_char_entropy", "t_type_token_ratio",
+    "t_len_gini", "t_source_mix_weights", "t_whitespace_anomalies",
+    "t_inverted_index", "mm_decode", "mm_frame_sample",
+    "d_chunk_documents", "v_ts_regressions", "v_role_sequences",
+    "v_adjusted_scores",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _query_registry()
+    ordered = {k: base[k] for k in _R4_FIRST_50}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
+def _query_registry() -> dict[str, Callable[[str], Any]]:
     return {
         "v_row_violations": V.q_row_violations,
         "v_verdicts": V.q_verdicts,

@@ -728,14 +728,16 @@ def ngram_decontaminate(
 
 def drop_ids(
     corpus: ray.data.Dataset,
-    drop: pa.Table,
+    drop: pa.Table | ray.data.Dataset,
     id_col: str = "doc_id",
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Anti-join the corpus against a drop-id table — the suppression step
     after near-dup clustering (drop list may be corpus-proportional at
     100 TB, so no broadcast: both sides hash-bucket by id, each bucket
-    filters locally — the :func:`decontaminate` pattern keyed on ids)."""
+    filters locally — the :func:`decontaminate` pattern keyed on ids).
+    ``drop`` may be a Dataset (e.g. the connected-components label table) —
+    it is padded and bucketed stream-side, never collected to the driver."""
 
     def tag_corpus(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -764,9 +766,12 @@ def drop_ids(
             keep[corpus_cols], schema=corpus_schema, preserve_index=False
         )
 
-    tagged = corpus.map_batches(tag_corpus, batch_format="pyarrow").union(
+    drop_ds = (
         ray.data.from_arrow(pad_drop(drop))
+        if isinstance(drop, pa.Table)
+        else drop.map_batches(pad_drop, batch_format="pyarrow")
     )
+    tagged = corpus.map_batches(tag_corpus, batch_format="pyarrow").union(drop_ds)
     return tagged.groupby("__bucket").map_groups(anti, batch_format="pandas")
 
 
@@ -1064,10 +1069,17 @@ def substring_dup_docs(
             row_of = np.searchsorted(offsets, pos, side="right") - 1
             valid = (pos + k <= offsets[row_of + 1]) & ascii_ok[row_of]
             g_rows = row_of[valid]
-            g_bytes = np.ascontiguousarray(win[valid]).view(f"S{k}").ravel()
+            g_flat = np.ascontiguousarray(win[valid])
         else:
             g_rows = np.zeros(0, dtype=np.int64)
-            g_bytes = np.zeros(0, dtype=f"S{k}")
+            g_flat = np.zeros((0, k), dtype=np.uint8)
+
+        # length-preserving gram column straight from the window buffer —
+        # NOT numpy "S{k}" items, which strip trailing NUL bytes on access
+        # and would merge distinct grams ending in 0x00 (ADVICE r3)
+        main_grams = pa.Array.from_buffers(
+            pa.binary(k), len(g_flat), [None, pa.py_buffer(g_flat)]
+        ).cast(pa.binary())
 
         # rare non-ASCII rows: character windows via a per-row fallback
         extra_rows, extra_grams = [], []
@@ -1086,14 +1098,14 @@ def substring_dup_docs(
                 ),
                 "gram": pa.concat_arrays(
                     [
-                        pa.array(g_bytes.astype("S"), pa.binary()).cast(pa.binary()),
+                        main_grams,
                         pa.array(
                             [g.encode("utf-8") for g in extra_grams], pa.binary()
                         ),
                     ]
                 )
                 if extra_rows
-                else pa.array(g_bytes.astype("S"), pa.binary()),
+                else main_grams,
             }
         )
         # distinct per doc; docs are batch-local so this is globally distinct

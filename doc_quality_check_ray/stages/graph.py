@@ -11,19 +11,32 @@ MapReduce and Beyond", SoCC 2014 — the hash-join formulation, public):
 
     label(v) ← min(label(v), min over neighbors u of label(u))
 
-Each round is two hash-bucket exchanges — a tagged label⋈edge join (the
-``decontaminate`` pattern: both sides bucketed by the join key, no
-broadcast — labels are node-proportional and may not fit one machine) and a
-per-node min merge. Plain propagation needs O(component diameter) rounds
-(``max_rounds`` bounds pathological chains; the large-star/small-star
-O(log n) variant of the paper is the upgrade path) — duplicate clusters are
-near-cliques, so 2-3 rounds in practice. Convergence is detected from the
-TOTAL LABEL SUM (labels only decrease, so the sum is strictly monotone
-until fixpoint) — a scalar aggregate, never a driver-side diff of the
-label table.
+Each round is ONE hash-bucket exchange: every node's doubled edges land in
+its own bucket, so bucket b OWNS the labels of nodes ≡ b (mod B) — it folds
+incoming label rows and messages with ``np.minimum``, iterates its local
+subgraph to a fixpoint, publishes owned labels, and emits improved labels
+for foreign nodes as messages the NEXT round's groupby colocates with their
+owner (a separate min-merge exchange would be redundant). Plain propagation
+needs O(component diameter) rounds; with ``shortcut=True`` (default) the
+current label table is ALSO fed back in as edges ``v ↔ label(v)`` — the
+hash-join expression of pointer doubling / the Kiveris star-contraction
+idea — bounding rounds at O(log diameter) on chain-shaped graphs (duplicate
+clusters are near-cliques, so 2-3 rounds either way; the shortcut is for
+pathological chains). Convergence is detected from the TOTAL OWNED-LABEL
+SUM (labels only decrease, so the sum is strictly monotone until fixpoint)
+— a scalar aggregate, never a driver-side diff of the label table.
+``max_rounds`` exhaustion without convergence is LOGGED (the repo
+convention: caps are logged, never silent).
+
+The result is a ``ray.data.Dataset`` — node-proportional, never collected
+to the driver on the distributed path. Consumers join it bucket-locally
+(the ``__side``-tagged union join in ``pipelines/documents.py``) or
+aggregate it through ``hash_bucket_aggregate``.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -32,16 +45,16 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .exchange import hash_bucket_aggregate
+logger = logging.getLogger(__name__)
 
 COMPONENT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("component_id", pa.int64())])
 
 _MSG_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),
-        ("kind", pa.int8()),  # 0 = label row (key=node), 1 = edge row (key=src)
+        ("kind", pa.int8()),  # 0 = owned label, 1 = edge (key=src), 2 = message
         ("key", pa.int64()),
-        ("val", pa.int64()),  # label (kind=0) / dst node (kind=1)
+        ("val", pa.int64()),  # label (kind 0/2) / dst node (kind=1)
     ]
 )
 
@@ -87,9 +100,13 @@ def connected_components(
     num_buckets: int = 32,
     mode: str = "auto",
     max_driver_edges: int = 1 << 16,
-) -> pa.Table:
+    shortcut: bool = True,
+    stats: dict | None = None,
+) -> ray.data.Dataset:
     """(doc_id, component_id = min id in its component) for every id that
-    appears in ``pairs`` (an undirected edge list).
+    appears in ``pairs`` (an undirected edge list), as a Dataset — the label
+    table is node-proportional and is NEVER collected to the driver on the
+    distributed path; join it back to the corpus bucket-locally.
 
     Singleton docs (no edges) are their own components and are NOT emitted —
     join the output back to the corpus with fill-null(doc_id) to materialize
@@ -98,15 +115,28 @@ def connected_components(
     Adaptive (the minhash ``verify="auto"`` pattern): when the edge count is
     at most ``max_driver_edges`` the whole propagation runs as one bounded
     vectorized pass on the driver — each distributed round costs several Ray
-    jobs of fixed overhead, which dwarfs the work on small dup graphs. The
+    jobs of fixed overhead, which dwarfs the work on small dup graphs — and
+    the resulting (bounded) table is wrapped as a single-block Dataset. The
     iterated-exchange path is kept for larger graphs (``mode="distributed"``
     forces it; the two paths are equivalence-tested).
+
+    ``stats``, if given, is filled with ``{"path", "rounds", "converged"}``
+    for observability and tests.
     """
+    if stats is None:
+        stats = {}
+
+    def _done_driver(tbl: pa.Table) -> ray.data.Dataset:
+        stats.update(path="driver", rounds=0, converged=True)
+        return ray.data.from_arrow(tbl)
+
     if isinstance(pairs, pa.Table):
         if mode != "distributed" and len(pairs) <= max_driver_edges:
-            return _components_driver(
-                pairs[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
-                pairs[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            return _done_driver(
+                _components_driver(
+                    pairs[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pairs[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                )
             )
         pairs = ray.data.from_arrow(pairs.select([a_col, b_col]))
     elif mode != "distributed":
@@ -123,12 +153,15 @@ def connected_components(
                 ]
             ) if n_edges else pa.table({a_col: pa.array([], pa.int64()),
                                         b_col: pa.array([], pa.int64())})
-            return _components_driver(
-                tbl[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
-                tbl[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            return _done_driver(
+                _components_driver(
+                    tbl[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    tbl[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                )
             )
 
-    # double the edges so one directed join produces messages both ways
+    # double the edges so one directed join produces messages both ways —
+    # and so every node's edges land in its OWN bucket (ownership, above)
     def doubled(t: pa.Table) -> pa.Table:
         a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -138,54 +171,46 @@ def connected_components(
 
     edges = pairs.map_batches(doubled, batch_format="pyarrow").materialize()
     if edges.count() == 0:
-        return COMPONENT_SCHEMA.empty_table()
+        stats.update(path="distributed", rounds=0, converged=True)
+        return ray.data.from_arrow(COMPONENT_SCHEMA.empty_table())
 
-    # initial labels: identity over the distinct endpoints
-    def init_labels(t: pa.Table) -> pa.Table:
-        ids = np.unique(t["key"].to_numpy(zero_copy_only=False))
-        return _tag(ids % num_buckets, 0, pa.array(ids), pa.array(ids))
-
-    labels = (
-        hash_bucket_aggregate(
-            edges.map_batches(init_labels, batch_format="pyarrow"),
-            ["key"],
-            {"val": ("val", "min")},
-            num_buckets=num_buckets,
-        )
-        .map_batches(
-            lambda t: _tag(
-                t["key"].to_numpy(zero_copy_only=False) % num_buckets,
-                0,
-                t["key"],
-                t["val"],
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
-
-    def label_sum(lab: ray.data.Dataset) -> int:
-        return int(lab.sum("val"))
-
-    prev_sum = label_sum(labels)
+    def labels_as_edges(t: pa.Table) -> pa.Table:
+        """Pointer-doubling feedback: the current label rows as edges
+        v ↔ label(v) (identity labels dropped). A label is always a node of
+        the same component (it was adopted along an edge chain), so these
+        edges never merge distinct components — they only shortcut paths."""
+        lt = t.filter(pc.not_equal(t["kind"], 1))
+        k = lt["key"].to_numpy(zero_copy_only=False)
+        v = lt["val"].to_numpy(zero_copy_only=False)
+        keep = k != v
+        k, v = k[keep], v[keep]
+        src = np.concatenate([k, v])
+        dst = np.concatenate([v, k])
+        return _tag(src % num_buckets, 1, pa.array(src), pa.array(dst))
 
     def join_bucket(g: pd.DataFrame) -> pa.Table:
-        """Messages from one bucket's edges, after iterating the bucket's
-        OWN subgraph to a local fixpoint first — chain segments that landed
-        in the same bucket collapse in one global round, so global rounds
-        track the number of bucket-crossings on the component's diameter
-        path, not the raw diameter."""
-        lab = g[g["kind"] == 0]
+        """One bucket's round: fold label rows + incoming messages with
+        np.minimum, iterate the bucket's OWN subgraph to a local fixpoint
+        (chain segments that landed in the same bucket collapse in one
+        global round), publish owned labels (kind=0) and improved foreign
+        labels as messages (kind=2)."""
+        b = int(g["bucket"].iloc[0])
+        lab = g[g["kind"] != 1]  # owned labels (0) + incoming messages (2)
         e = g[g["kind"] == 1]
         if len(e) == 0:
             return _MSG_SCHEMA.empty_table()
         nodes = np.unique(
-            np.concatenate([lab["key"].to_numpy(), e["key"].to_numpy(), e["val"].to_numpy()])
+            np.concatenate(
+                [lab["key"].to_numpy(), e["key"].to_numpy(), e["val"].to_numpy()]
+            )
         )
         idx = {n: i for i, n in enumerate(nodes)}
-        local = nodes.copy()  # identity fallback for foreign dst nodes
-        li = np.fromiter((idx[k] for k in lab["key"]), dtype=np.int64, count=len(lab))
-        np.minimum.at(local, li, lab["val"].to_numpy())
+        local = nodes.copy()  # identity start / fallback for foreign nodes
+        if len(lab):
+            li = np.fromiter(
+                (idx[k] for k in lab["key"]), dtype=np.int64, count=len(lab)
+            )
+            np.minimum.at(local, li, lab["val"].to_numpy())
         src = np.fromiter((idx[k] for k in e["key"]), dtype=np.int64, count=len(e))
         dst = np.fromiter((idx[k] for k in e["val"]), dtype=np.int64, count=len(e))
         for _ in range(len(nodes)):  # local fixpoint, bounded
@@ -195,54 +220,78 @@ def connected_components(
             np.minimum.at(local, dst, m)
             if np.array_equal(before, local):
                 break
-        out_nodes = np.unique(np.concatenate([e["key"].to_numpy(), e["val"].to_numpy()]))
-        oi = np.fromiter((idx[k] for k in out_nodes), dtype=np.int64, count=len(out_nodes))
-        return _tag(
-            out_nodes % num_buckets,
-            0,
-            pa.array(out_nodes, pa.int64()),
-            pa.array(local[oi], pa.int64()),
+        owned = nodes % num_buckets == b
+        foreign = ~owned & (local < nodes)  # only improvements travel
+        out_nodes = np.concatenate([nodes[owned], nodes[foreign]])
+        out_vals = np.concatenate([local[owned], local[foreign]])
+        kind = np.concatenate(
+            [
+                np.zeros(int(owned.sum()), dtype=np.int8),
+                np.full(int(foreign.sum()), 2, dtype=np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(out_nodes % num_buckets, pa.int64()),
+                "kind": pa.array(kind),
+                "key": pa.array(out_nodes, pa.int64()),
+                "val": pa.array(out_vals, pa.int64()),
+            },
+            schema=_MSG_SCHEMA,
         )
 
-    for _ in range(max_rounds):
-        msgs = (
-            edges.union(labels)
-            .groupby("bucket")
-            .map_groups(join_bucket, batch_format="pandas")
-        )
-        labels = (
-            hash_bucket_aggregate(
-                msgs.union(labels),
-                ["key"],
-                {"val": ("val", "min")},
-                num_buckets=num_buckets,
-            )
-            .map_batches(
-                lambda t: _tag(
-                    t["key"].to_numpy(zero_copy_only=False) % num_buckets,
-                    0,
-                    t["key"],
-                    t["val"],
-                ),
+    def owned_label_sum(state: ray.data.Dataset) -> int:
+        return int(
+            state.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], 0)).select(["val"]),
                 batch_format="pyarrow",
-            )
+            ).sum("val")
+        )
+
+    state = None
+    prev_sum = None
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        inp = edges
+        if state is not None:
+            inp = inp.union(state)
+            if shortcut:
+                inp = inp.union(
+                    state.map_batches(labels_as_edges, batch_format="pyarrow")
+                )
+        state = (
+            inp.groupby("bucket")
+            .map_groups(join_bucket, batch_format="pandas")
             .materialize()
         )
-        cur = label_sum(labels)
-        if cur == prev_sum:  # labels only decrease → fixpoint
+        cur = owned_label_sum(state)
+        # owned labels only decrease, and any improving message decreases
+        # its owner's label the round it is folded — an unchanged sum means
+        # unchanged owned labels, of which every output is a deterministic
+        # function, so it is a true fixpoint
+        if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
 
-    out = pa.concat_tables(
-        [
-            b.select(["key", "val"])
-            for b in labels.iter_batches(batch_format="pyarrow", batch_size=None)
-            if b.num_rows
-        ]
-    )
-    df = (
-        out.rename_columns(["doc_id", "component_id"])
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
-    )
-    return pa.Table.from_pandas(df, preserve_index=False).cast(COMPONENT_SCHEMA)
+    if not converged:
+        logger.warning(
+            "connected_components: max_rounds=%d exhausted before the label "
+            "fixpoint — emitted component_ids may still span unmerged chains "
+            "(raise max_rounds or keep shortcut=True)",
+            max_rounds,
+        )
+    stats.update(path="distributed", rounds=rounds, converged=converged)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["key"], pa.int64()),
+                "component_id": pc.cast(t["val"], pa.int64()),
+            },
+            schema=COMPONENT_SCHEMA,
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")

@@ -184,6 +184,54 @@ GROUP BY 1 HAVING count(*) >= 4 ORDER BY doc_id
     assert {1, 2, 4} <= set(got["doc_id"])
 
 
+def test_substring_dup_grams_preserve_trailing_nul_bytes():
+    """ADVICE r3: numpy "S{k}" items strip trailing 0x00 on access, which
+    would truncate and MERGE distinct grams ending in NUL. The gram column
+    is now built length-preserving from the window buffer: two docs whose
+    only shared windows end in NUL bytes must still be detected, and a doc
+    sharing only the NUL-stripped PREFIX must not be."""
+    import pandas as pd
+    import ray.data
+
+    from doc_quality_check_ray.stages.dedup import substring_dup_docs
+
+    k = 4
+    shared = "ab\x00\x00cdef"  # shared windows include 'b\x00\x00c' etc.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "XX" + shared,
+                "YY" + shared,
+                # contains 'ab' + non-NUL tail: under NUL-stripping, the
+                # stripped gram 'ab' would falsely match doc 1/2's 'ab\0\0'
+                "ZZabQRSTUV",
+            ],
+        }
+    )
+    got = (
+        substring_dup_docs(ray.data.from_pandas(docs), k=k, min_shared=1)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # python-set ground truth (character windows, exact bytes)
+    grams = {
+        i: {t[j : j + k] for j in range(len(t) - k + 1)}
+        for i, t in zip(docs.doc_id, docs.text)
+    }
+    want = {
+        i: sum(
+            1
+            for g in grams[i]
+            if any(g in grams[j] for j in grams if j != i)
+        )
+        for i in grams
+    }
+    want = {i: n for i, n in want.items() if n >= 1}
+    assert dict(zip(got.doc_id, got.n_shared)) == want
+    assert 3 not in set(got.doc_id)
+
+
 def test_ngram_decontaminate_planted_overlap():
     """Corpus docs sharing a token 5-gram with the blocklist are flagged
     with their DISTINCT contaminated-gram count; shorter-than-k rows and

@@ -1,5 +1,6 @@
-"""Connected components: multi-node chains and cliques, convergence, and the
-min-canonical contract."""
+"""Connected components: multi-node chains and cliques, convergence, the
+min-canonical contract, the Dataset-valued (never-collected) hand-off, and
+the pointer-doubling round bound."""
 
 from __future__ import annotations
 
@@ -18,11 +19,15 @@ def _pairs(edges):
     )
 
 
+def _collect(ds):
+    return ds.take_all()
+
+
 def test_chain_and_triangle_and_pair():
     # chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
     # triangle 10-11-12, disjoint pair 20-21
     edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
-    out = connected_components(_pairs(edges)).to_pylist()
+    out = _collect(connected_components(_pairs(edges)))
     got = {r["doc_id"]: r["component_id"] for r in out}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
@@ -30,23 +35,25 @@ def test_chain_and_triangle_and_pair():
 
 def test_components_from_dataset_and_empty():
     ds = ray.data.from_arrow(_pairs([(7, 3), (3, 9)]))
-    got = {r["doc_id"]: r["component_id"] for r in connected_components(ds).to_pylist()}
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in _collect(connected_components(ds))
+    }
     assert got == {3: 3, 7: 3, 9: 3}
     empty = connected_components(_pairs([]))
-    assert empty.num_rows == 0
+    assert empty.count() == 0
 
 
 def test_long_chain_converges():
     # a path is the worst case for min propagation (rounds track the
     # bucket-crossings along the diameter; the in-bucket local fixpoint
-    # collapses same-bucket segments per round — with 2 buckets the doubled
-    # edges of this chain collapse in a couple of rounds); forced onto the
+    # collapses same-bucket segments per round); forced onto the
     # distributed path so the exchange loop stays covered past the gate
     n = 9
     edges = [(i, i + 1) for i in range(n)]
-    out = connected_components(
-        _pairs(edges), num_buckets=2, mode="distributed"
-    ).to_pylist()
+    out = _collect(
+        connected_components(_pairs(edges), num_buckets=2, mode="distributed")
+    )
     assert all(r["component_id"] == 0 for r in out)
     assert len(out) == n + 1
 
@@ -59,12 +66,85 @@ def test_driver_and_distributed_paths_agree():
     edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(120, 2)) if a != b]
     drv = {
         (r["doc_id"], r["component_id"])
-        for r in connected_components(_pairs(edges)).to_pylist()
+        for r in _collect(connected_components(_pairs(edges)))
     }
     dist = {
         (r["doc_id"], r["component_id"])
-        for r in connected_components(
-            _pairs(edges), mode="distributed", num_buckets=4
-        ).to_pylist()
+        for r in _collect(
+            connected_components(_pairs(edges), mode="distributed", num_buckets=4)
+        )
     }
     assert drv == dist and len(drv) > 0
+
+
+def test_distributed_handoff_is_dataset():
+    # the distributed path must emit a Dataset (labels are node-proportional;
+    # VERDICT r3 #1: no driver-side concat of the label table) and its
+    # stats record the path taken
+    stats: dict = {}
+    out = connected_components(
+        _pairs([(1, 2), (2, 3), (5, 6)]),
+        mode="distributed",
+        num_buckets=4,
+        stats=stats,
+    )
+    assert isinstance(out, ray.data.Dataset)
+    assert stats["path"] == "distributed" and stats["converged"]
+    got = {r["doc_id"]: r["component_id"] for r in out.take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    # driver path also reports through stats and wraps as a Dataset
+    stats2: dict = {}
+    out2 = connected_components(_pairs([(1, 2)]), stats=stats2)
+    assert isinstance(out2, ray.data.Dataset) and stats2["path"] == "driver"
+
+
+def test_shortcut_bounds_rounds_on_chain():
+    # pointer-doubling feedback: on a long chain the plain propagation needs
+    # rounds ~ diameter / bucket-collapse; with label-edge shortcutting the
+    # round count must be strictly smaller (O(log n)) and results identical
+    n = 24
+    edges = [(i, i + 1) for i in range(n)]
+    plain_stats: dict = {}
+    plain = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            _pairs(edges),
+            mode="distributed",
+            num_buckets=8,
+            shortcut=False,
+            stats=plain_stats,
+        ).take_all()
+    }
+    fast_stats: dict = {}
+    fast = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            _pairs(edges),
+            mode="distributed",
+            num_buckets=8,
+            shortcut=True,
+            stats=fast_stats,
+        ).take_all()
+    }
+    assert plain == fast == {(i, 0) for i in range(n + 1)}
+    assert plain_stats["converged"] and fast_stats["converged"]
+    assert fast_stats["rounds"] < plain_stats["rounds"]
+
+
+def test_max_rounds_exhaustion_warns(caplog):
+    import logging
+
+    n = 24
+    edges = [(i, i + 1) for i in range(n)]
+    stats: dict = {}
+    with caplog.at_level(logging.WARNING, logger="doc_quality_check_ray.stages.graph"):
+        connected_components(
+            _pairs(edges),
+            mode="distributed",
+            num_buckets=8,
+            shortcut=False,
+            max_rounds=1,
+            stats=stats,
+        ).materialize()
+    assert not stats["converged"]
+    assert any("max_rounds" in rec.message for rec in caplog.records)

@@ -42,3 +42,14 @@ def test_every_query_is_oracle_backed_or_allowlisted():
     assert not stale, f"allowlist entries no longer in queries(): {sorted(stale)}"
     overlap = ROWS_ONLY_ALLOWLIST & oracles
     assert not overlap, f"allowlisted but actually oracle-backed: {sorted(overlap)}"
+
+
+def test_driver_sample_window_is_oracle_backed():
+    # the driver hash-verifies only the first 50 queries() entries — keep
+    # that window 100% oracle-backed so every sampled row is a hard check
+    # (rows-only meters ride later in the dict)
+    m = importlib.import_module("__ray_entry__")
+    first = list(m.queries())[:50]
+    oracles = set(m.oracle_sql())
+    not_backed = [k for k in first if k not in oracles]
+    assert not not_backed, f"first-50 sample has no-oracle rows: {not_backed}"

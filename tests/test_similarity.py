@@ -83,6 +83,60 @@ def test_ivf_knn_recall_vs_brute_force():
     assert 100 in set(a5.neighbor_id)
 
 
+def test_ivf_hash_sample_beats_head_on_clustered_corpus():
+    """VERDICT r3 #4: a corpus written clustered (by source) makes the old
+    first-rows (`ds.limit`) training sample single-cluster — every centroid
+    lands in cluster A, cluster-B vectors spread across lists on argmax
+    noise, and low-probe recall collapses. The seeded-hash sample is
+    order-independent, so both clusters get centroids and recall holds."""
+    from doc_quality_check_ray.stages.similarity import ivf_knn
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    # cluster A: tight ball around a fixed direction (rows 0..255 — exactly
+    # the head sample); B: SEVEN tight clusters in the orthogonal complement
+    # (neighbors co-locate, so a well-trained index recovers them)
+    a_dir = np.zeros(dim); a_dir[0] = 1.0
+    A = a_dir + rng.standard_normal((256, dim)) * 0.02
+    b_dirs = rng.standard_normal((7, dim))
+    b_dirs[:, 0] = 0.0  # orthogonal to A's axis
+    b_dirs /= np.linalg.norm(b_dirs, axis=1, keepdims=True)
+    # wide-enough spread (σ=0.25) that 10-NN distances are comparable to the
+    # cluster radius: under a degenerate (all-in-A) codebook the argmax over
+    # near-identical centroids is dominated by per-member noise, so a
+    # query's true neighbors scatter across lists — the recall failure mode
+    B = np.concatenate(
+        [d + rng.standard_normal((146, dim)) * 0.25 for d in b_dirs]
+    )
+    m = np.concatenate([A, B]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    queries = [300, 500, 700, 900, 1100]  # all in cluster B
+    exact = knn_brute_force(ds, query_ids=queries, k=10).to_pandas()
+
+    def mean_recall(approx):
+        recalls = []
+        for q in queries:
+            e = set(exact[exact.query_id == q].neighbor_id)
+            a = set(approx[approx.query_id == q].neighbor_id)
+            recalls.append(len(e & a) / len(e))
+        return sum(recalls) / len(recalls)
+
+    kw = dict(query_ids=queries, k=10, n_centroids=8, n_probe=2,
+              sample_size=256)
+    r_head = mean_recall(ivf_knn(ds, train_sample="head", **kw).to_pandas())
+    r_hash = mean_recall(ivf_knn(ds, train_sample="hash", **kw).to_pandas())
+    assert r_hash >= 0.7, r_hash
+    assert r_hash > r_head + 0.2, (r_hash, r_head)
+
+
 def test_ivf_knn_deterministic():
     from doc_quality_check_ray.stages.similarity import ivf_knn
 
