@@ -55,7 +55,8 @@ _R4_FIRST_50 = [
     "t_len_gini", "t_source_mix_weights", "t_whitespace_anomalies",
     "t_inverted_index", "mm_decode", "mm_frame_sample",
     "d_chunk_documents", "v_ts_regressions", "v_role_sequences",
-    "v_adjusted_scores",
+    # new this round (oracle-backed): weighted sampling
+    "d_weighted_sample",
 ]
 
 
@@ -111,6 +112,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "t_subtoken_counts": D.q_subtoken_counts,
         "t_top_terms_by_source": D.q_top_terms_by_source,
         "d_sample_documents": D.q_sample_documents,
+        "d_weighted_sample": D.q_weighted_sample,
+        "v_tdigest_quantile_error": V.q_tdigest_quantile_error,
         "d_decontaminate": D.q_decontaminate,
         "d_ngram_decontaminate": D.q_ngram_decontaminate,
         "d_dup_components": D.q_dup_components,
@@ -250,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "t_subtoken_counts": O.sql_subtoken_counts(D.SUBTOKEN_RE2),
         "t_top_terms_by_source": O.sql_top_terms_by_source(),
         "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
+        "d_weighted_sample": O.sql_weighted_sample(D.WSAMPLE_SEED, D.WSAMPLE_K),
         "d_decontaminate": O.sql_decontaminate(D.SAMPLE_HEX_LT),
         "d_ngram_decontaminate": O.sql_ngram_decontaminate(
             D.SAMPLE_HEX_LT, D.NGRAM_DECON_K

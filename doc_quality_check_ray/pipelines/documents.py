@@ -468,6 +468,88 @@ def q_sample_documents(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: weighted-sample seed prefix and sample size
+WSAMPLE_SEED = "wsample1:"
+WSAMPLE_K = 200
+
+
+def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
+    """Weighted sampling without replacement, weights ∝ token count — the
+    "sample documents proportional to their training-token contribution"
+    operator a mixture builder needs. Efraimidis–Spirakis (2006, public):
+    draw u_i ~ U(0,1) per doc, keep the k smallest keys ``-ln(u_i)/w_i``
+    (equivalent to their max-u^(1/w) form, monotone transform). u_i is the
+    seeded-md5 32-bit prefix of the doc id mapped to (0,1) — deterministic,
+    and reproducible bit-for-bit by the SQL twin (DuckDB parses the same
+    hex prefix with ``CAST('0x…' AS UBIGINT)``; both sides evaluate
+    ``-ln((v+0.5)/2^32)/w`` in float64).
+
+    Scale shape: one streaming pass computes keys and keeps a PER-BATCH
+    top-k (np.argpartition), the driver merges the bounded partials
+    (batches × k rows) and takes the global k — no shuffle, no sort of the
+    corpus. Zero-token docs carry zero weight and are excluded (the SQL
+    twin's ``WHERE n_tokens > 0``)."""
+    import numpy as np
+
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+
+    prefix = WSAMPLE_SEED.encode()
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.asarray(ts.token_counts(t["text"], t.num_rows), dtype=np.int64)
+        keep = n_tok > 0
+        ids, n_tok = ids[keep], n_tok[keep]
+        src = t["source"].filter(pa.array(keep))
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.float64()),
+                }
+            )
+        dg = md5_digests_of_prefixed_ints(prefix, ids.astype(np.uint64))
+        v = (
+            (dg[:, 0].astype(np.uint64) << 24)
+            | (dg[:, 1].astype(np.uint64) << 16)
+            | (dg[:, 2].astype(np.uint64) << 8)
+            | dg[:, 3].astype(np.uint64)
+        )
+        u = (v.astype(np.float64) + 0.5) / 4294967296.0
+        key = -np.log(u) / n_tok.astype(np.float64)
+        kk = min(k, len(key))
+        sel = np.argpartition(key, kk - 1)[:kk]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel]),
+                "source": src.take(pa.array(sel)),
+                "n_tokens": pa.array(n_tok[sel]),
+                "key": pa.array(key[sel], pa.float64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    parts = (
+        docs
+        .map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # bounded: ≤ batches × k rows of 4 scalars
+    )
+    top = parts.nsmallest(k, "key").drop(columns=["key"]).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False).cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("source", pa.string()),
+                ("n_tokens", pa.int64()),
+            ]
+        )
+    )
+
+
 def q_top_terms_by_source(sf_dir: str, k: int = 5):
     """Grouped top-k with label: the k most frequent tokens per ``source``
     (tie → token asc) — per-batch combiner → (source, token) exchange →

@@ -816,6 +816,29 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}'
 """
 
 
+def sql_weighted_sample(seed: str, k: int) -> str:
+    """Twin of documents.q_weighted_sample: Efraimidis–Spirakis keys
+    ``-ln(u)/w`` with u = the seeded-md5 32-bit hex prefix of the doc id
+    mapped to (0,1) — DuckDB parses the identical hex prefix via
+    ``CAST('0x…' AS UBIGINT)`` and evaluates the identical float64
+    expression, so the selected k-set matches bit-for-bit."""
+    from ..functions import textstats as ts
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, {ts.sql_token_count_expr('text')} AS n_tokens
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, n_tokens,
+         -ln((CAST(concat('0x', substring(
+                md5('{seed}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              + 0.5) / 4294967296.0) / n_tokens AS key
+  FROM w WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens FROM keyed ORDER BY key LIMIT {k}
+"""
+
+
 def sql_ngram_decontaminate(hex_lt: str, k: int = 5) -> str:
     """Twin of documents.q_ngram_decontaminate: distinct contaminated token
     k-grams per unsampled doc, joining gram STRINGS (the engine joins 64-bit

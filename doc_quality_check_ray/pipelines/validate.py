@@ -209,6 +209,60 @@ def q_text_len_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) ->
     )
 
 
+def q_tdigest_quantile_error(
+    sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """Driver-visible accuracy meter for the run-path t-digest (the sketch
+    the 100 TB stats snapshot ships instead of an exact value histogram —
+    ``stages/drift.py``, ``state/snapshot.py``): per-batch digests over text
+    length merge on the driver (bounded: one ~δ-centroid row per batch, the
+    mergeable-sketch contract), estimated quantiles sit next to the exact
+    histogram-exchange values, and the relative error is reported per
+    quantile. Rows-only by design (a sketch has no SQL twin); pytest pins
+    rel_err ≤ 2 % at every reported quantile."""
+    import numpy as np
+
+    from ..functions.sketches import TDigest
+
+    ds = derive_transcripts(sf_dir).select_columns(["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lens = (
+            pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        m, w = TDigest(cfg.tdigest_compression).add(lens).to_arrays()
+        return pa.table(
+            {
+                "td_means": pa.array([m], pa.list_(pa.float64())),
+                "td_weights": pa.array([w], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=cfg.batch_size
+    ).to_pandas()  # O(batches) sketch rows, KB-scale
+    td = TDigest(cfg.tdigest_compression)
+    for m, w in zip(rows["td_means"], rows["td_weights"]):
+        td = td.merge(TDigest.from_arrays(m, w, cfg.tdigest_compression))
+
+    exact = _exact_value_quantiles(
+        ds, lambda t: pc.utf8_length(t["text"]), TEXT_LEN_QUANTILES, cfg
+    )
+    est = [td.quantile(q) for q in TEXT_LEN_QUANTILES]
+    rel = [
+        round(abs(e - x) / max(x, 1), 6) for e, x in zip(est, exact)
+    ]
+    return pa.table(
+        {
+            "quantile": pa.array(list(TEXT_LEN_QUANTILES), pa.float64()),
+            "tdigest_len": pa.array([round(e, 3) for e in est], pa.float64()),
+            "exact_len": pa.array(exact, pa.int64()),
+            "rel_err": pa.array(rel, pa.float64()),
+        }
+    )
+
+
 def q_ts_quantiles(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG) -> pa.Table:
     """Exact timestamp quantiles as epoch-microseconds (quantile_disc
     semantics) — the exact twin of the stats snapshot's ts t-digest."""

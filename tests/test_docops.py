@@ -211,3 +211,53 @@ def test_compression_ratio_pinned(sf_dir):
     assert out.loc[docs.index[0], "comp_len"] == len(zlib.compress(raw, 6))
     # word-salad corpus still compresses well below 1.0
     assert out["ratio"].median() < 0.7
+
+
+def test_weighted_sample_matches_exhaustive_selection(sf_dir):
+    """The per-batch-top-k + driver-merge path must select exactly the k
+    docs an exhaustive driver-side computation of the Efraimidis–Spirakis
+    keys selects, and higher-token docs must be overrepresented vs a
+    uniform draw (the point of weighting)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from doc_quality_check_ray.functions import textstats as ts
+    from doc_quality_check_ray.pipelines.documents import (
+        WSAMPLE_K,
+        WSAMPLE_SEED,
+        q_weighted_sample,
+    )
+
+    got = q_weighted_sample(sf_dir).to_pandas()
+    assert len(got) == WSAMPLE_K
+    assert list(got.columns) == ["doc_id", "source", "n_tokens"]
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_tok = np.asarray(ts.token_counts(t["text"], t.num_rows), dtype=np.int64)
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    keep = n_tok > 0
+    ids, n_tok = ids[keep], n_tok[keep]
+    u = np.array(
+        [
+            (int(hashlib.md5(f"{WSAMPLE_SEED}{i}".encode()).hexdigest()[:8], 16) + 0.5)
+            / 2**32
+            for i in ids
+        ]
+    )
+    key = -np.log(u) / n_tok
+    want = set(ids[np.argsort(key, kind="mergesort")[:WSAMPLE_K]])
+    assert set(got.doc_id) == want
+    # weighting bites: the sampled docs' mean token count exceeds the corpus mean
+    assert got.n_tokens.mean() > n_tok.mean()
+
+
+def test_tdigest_quantile_error_meter(sf_dir):
+    """Driver-visible t-digest meter: estimates within 2% relative error of
+    the exact histogram-exchange quantiles at every reported quantile."""
+    from doc_quality_check_ray.pipelines.validate import q_tdigest_quantile_error
+
+    rows = q_tdigest_quantile_error(sf_dir).to_pandas()
+    assert len(rows) == 6
+    assert (rows.rel_err <= 0.02).all(), rows

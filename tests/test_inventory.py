@@ -28,6 +28,9 @@ ROWS_ONLY_ALLOWLIST = {
     "t_heavy_hitters_recall",
     # pytest-pinned (no SQL zlib)
     "t_compression_ratio",
+    # t-digest sketch accuracy meter (exact twin computed inside; no SQL
+    # analog for the sketch itself)
+    "v_tdigest_quantile_error",
 }
 
 
