@@ -118,6 +118,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "d_ngram_decontaminate": D.q_ngram_decontaminate,
         "d_dup_components": D.q_dup_components,
         "d_dup_cluster_sizes": D.q_dup_cluster_sizes,
+        "d_dup_rate_by_source": D.q_dup_rate_by_source,
         "d_dedup_keep": D.q_dedup_keep,
         "d_pack_chunks": D.q_pack_chunks,
         "d_stratified_sample": D.q_stratified_sample,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "d_dup_components": O.sql_dup_components(),
         "d_dup_cluster_sizes": O.sql_dup_cluster_sizes(),
+        "d_dup_rate_by_source": O.sql_dup_rate_by_source(),
         "d_dedup_keep": O.sql_dedup_keep(),
         "d_pack_chunks": O.sql_pack_chunks(D.PACK_CHUNK, D.PACK_CAPACITY),
         "d_stratified_sample": O.sql_stratified_sample(D.STRATIFIED_K),

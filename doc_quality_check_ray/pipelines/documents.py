@@ -1504,6 +1504,130 @@ def q_dedup_keep(sf_dir: str, threshold: float = 0.25):
     return drop_ids(_docs(sf_dir), drop)
 
 
+def q_dup_rate_by_source(sf_dir: str, threshold: float = 0.25):
+    """Dedup observability rollup: per source, how many documents sit in at
+    least one near-dup pair (exact n-gram Jaccard, within-source groups)
+    and how many pairs there are — the "how duplicated is each feed" table
+    a curation run reports next to the dedup itself.
+
+    One tagged id-keyed exchange resolves everything: corpus rows carry
+    (doc_id → source), each pair contributes a pair-count row keyed by its
+    a_id and two member rows keyed by each endpoint; the bucket reducer
+    looks up sources locally, de-duplicates members per id, and emits
+    per-source partials a tiny final exchange merges. The pair table and
+    the corpus both stream — nothing is collected to the driver."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = ngram_jaccard_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ),
+        threshold=threshold,
+    )
+    nb = 32
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ids),
+                "source": t["source"],
+                "kind": pa.array(np.zeros(len(ids), np.int8)),
+                "w": pa.array(np.ones(len(ids), np.int64)),
+                "bucket": pa.array(ids % nb),
+            }
+        )
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # kind 2: one pair-count row per pair (keyed a_id);
+        # kind 1: two member rows per pair (keyed each endpoint)
+        key = np.concatenate([a, a, b])
+        kind = np.concatenate(
+            [
+                np.full(len(a), 2, np.int8),
+                np.ones(len(a), np.int8),
+                np.ones(len(b), np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "source": pa.nulls(len(key), pa.string()),
+                "kind": pa.array(kind),
+                "w": pa.array(np.ones(len(key), np.int64)),
+                "bucket": pa.array(key % nb),
+            }
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[g["kind"] == 0]
+        lut = dict(zip(src["key"], src["source"]))
+        n_docs = src.groupby("source", sort=False).size().rename("n_docs")
+        members = g[g["kind"] == 1].drop_duplicates("key")
+        n_dup = (
+            members.assign(source=members["key"].map(lut))
+            .groupby("source", sort=False)
+            .size()
+            .rename("n_dup_docs")
+        )
+        pair_rows = g[g["kind"] == 2]
+        n_pairs = (
+            pair_rows.assign(source=pair_rows["key"].map(lut))
+            .groupby("source", sort=False)
+            .size()
+            .rename("n_pairs")
+        )
+        out = (
+            pd.concat([n_docs, n_dup, n_pairs], axis=1)
+            .fillna(0)
+            .astype(np.int64)
+            .reset_index()
+        )
+        return out
+
+    partials = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        .map_batches(tag_corpus, batch_format="pyarrow")
+        .union(pairs.map_batches(tag_pairs, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+    merged = hash_bucket_aggregate(
+        partials,
+        ["source"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "n_dup_docs": ("n_dup_docs", "sum"),
+            "n_pairs": ("n_pairs", "sum"),
+        },
+        num_buckets=4,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.rounding import round_half_away
+
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["n_dup_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_dup_docs": pc.cast(t["n_dup_docs"], pa.int64()),
+                "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+                "dup_rate": pa.array(round_half_away(du / nd, 6), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids — the class-prototype / cluster-center
     aggregation (k-means M-step, nearest-class-mean classification): for

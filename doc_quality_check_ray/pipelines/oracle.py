@@ -816,6 +816,52 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{hex_lt}'
 """
 
 
+def sql_dup_rate_by_source(threshold: float = 0.25) -> str:
+    """Twin of documents.q_dup_rate_by_source: per-source near-dup
+    observability over the same within-source exact-Jaccard pair set as
+    sql_ngram_jaccard (same shingle CTE, k=3)."""
+    jac = (
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.grams, b.grams)))"
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(ts) - 2),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+         ELSE [array_to_string(ts, ' ')] END AS grams
+  FROM tok
+), p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source AS source
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE {jac} >= {threshold}
+), m AS (
+  SELECT DISTINCT doc_id, source FROM (
+    SELECT a_id AS doc_id, source FROM p
+    UNION ALL SELECT b_id AS doc_id, source FROM p
+  )
+), d AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+)
+SELECT d.source,
+       d.n_docs,
+       CAST(coalesce(md.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       round(CAST(coalesce(md.n_dup_docs, 0) AS DOUBLE) / d.n_docs, 6)
+         AS dup_rate
+FROM d
+LEFT JOIN (SELECT source, count(*) AS n_dup_docs FROM m GROUP BY 1) md
+  USING (source)
+LEFT JOIN (SELECT source, count(*) AS n_pairs FROM p GROUP BY 1) pc
+  USING (source)
+"""
+
+
 def sql_weighted_sample(seed: str, k: int) -> str:
     """Twin of documents.q_weighted_sample: Efraimidis–Spirakis keys
     ``-ln(u)/w`` with u = the seeded-md5 32-bit hex prefix of the doc id

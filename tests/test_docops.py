@@ -261,3 +261,21 @@ def test_tdigest_quantile_error_meter(sf_dir):
     rows = q_tdigest_quantile_error(sf_dir).to_pandas()
     assert len(rows) == 6
     assert (rows.rel_err <= 0.02).all(), rows
+
+
+def test_dup_rate_by_source_rollup(sf_dir):
+    """Per-source dup observability: totals cover the corpus, only sources
+    with planted near-dup pairs report nonzero rates, and the rate equals
+    n_dup_docs / n_docs."""
+    import pyarrow.parquet as pq
+
+    from doc_quality_check_ray.pipelines.documents import q_dup_rate_by_source
+
+    rows = q_dup_rate_by_source(sf_dir).to_pandas().sort_values("source")
+    n_corpus = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert rows.n_docs.sum() == n_corpus
+    assert (rows.n_dup_docs <= rows.n_docs).all()
+    dup = rows[rows.n_pairs > 0]
+    assert len(dup) >= 1  # the corpus plants near-dup pairs
+    for _, r in rows.iterrows():
+        assert r.dup_rate == round(r.n_dup_docs / r.n_docs, 6)
