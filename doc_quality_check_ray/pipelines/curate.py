@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..functions.hashing import md5_first_byte_of_ints
-from ..state.manifest import RunManifest, atomic_output_dir
+from ..state.manifest import RunManifest, _atomic_write_json, atomic_output_dir
 
 SAMPLE_HEX_LT = "10"  # the q_sample_documents blocklist rule (md5(doc_id)[0:2])
 
@@ -66,7 +66,9 @@ def _score_shard(file: str, shard_out: Path) -> dict[str, Any]:
         )
         return kept
 
-    ds = ray.data.read_parquet(file)
+    # prune at the read: the gate + output need exactly these three columns
+    # (documents.parquet also carries lang/n_chars — never load them here)
+    ds = ray.data.read_parquet(file, columns=["doc_id", "source", "text"])
     with atomic_output_dir(shard_out) as tmp:
         ds.map_batches(
             score, batch_format="pyarrow", zero_copy_batch=True
@@ -78,16 +80,58 @@ def _score_shard(file: str, shard_out: Path) -> dict[str, Any]:
     return {"n_input": n_input, "n_kept": n_kept, "input_file": file}
 
 
+def _input_fingerprint(files: list[str]) -> dict[str, Any]:
+    """Cheap identity of the input corpus: per-file footer row count + mtime.
+    Footer reads are metadata-only (no data pages leave storage)."""
+    return {
+        "files": [
+            {
+                "name": Path(f).name,
+                "num_rows": pq.read_metadata(f).num_rows,
+                "mtime_ns": Path(f).stat().st_mtime_ns,
+            }
+            for f in files
+        ]
+    }
+
+
 def run_curation(in_dir: str, out_dir: str, resume: bool = True) -> dict[str, Any]:
-    """Run (or resume) the full curation pipeline; returns the run summary."""
+    """Run (or resume) the full curation pipeline; returns the run summary.
+
+    A resumed run first validates the pinned checkpoints against the CURRENT
+    input (ADVICE r4: a corpus regenerated in place under the same path must
+    not silently reuse stale curation output): the input fingerprint
+    (per-file parquet footer row count + mtime) is written on first build
+    and a mismatch falls back to a full rebuild of the out dir.
+    """
+    import logging
+    import shutil
+
     from ..stages.dedup import decontaminate, exact_dedup_keep_first
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    files = _input_files(in_dir)
+
+    fp_path = out / "input_fingerprint.json"
+    fp = _input_fingerprint(files)
+    if resume and fp_path.exists():
+        import json
+
+        if json.loads(fp_path.read_text()) != fp:
+            logging.getLogger(__name__).warning(
+                "run_curation: input fingerprint mismatch under %s — "
+                "discarding stale checkpoints and rebuilding", out
+            )
+            for sub in ("scored", "final", "_manifest"):
+                shutil.rmtree(out / sub, ignore_errors=True)
+            (out / "run_summary.json").unlink(missing_ok=True)
+            resume = False
+
     manifest = RunManifest(out)
     done = manifest.completed_shards() if resume else set()
-
-    files = _input_files(in_dir)
+    if not fp_path.exists() or not resume:
+        _atomic_write_json(fp_path, fp)
     t0 = time.perf_counter()
     for i, f in enumerate(files):
         sid = f"{i:05d}"
@@ -125,7 +169,9 @@ def run_curation(in_dir: str, out_dir: str, resume: bool = True) -> dict[str, An
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(md5_first_byte_of_ints(ids) < cut))
 
-    blocklist = ray.data.read_parquet(files).map_batches(
+    # the anti-join keys on text fingerprints; doc_id only feeds the sample
+    # filter — prune the other three columns at the read
+    blocklist = ray.data.read_parquet(files, columns=["doc_id", "text"]).map_batches(
         sample_filter, batch_format="pyarrow", zero_copy_batch=True
     )
     final = decontaminate(deduped, blocklist)

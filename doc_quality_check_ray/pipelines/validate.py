@@ -232,16 +232,31 @@ def q_tdigest_quantile_error(
             .astype(np.float64)
         )
         m, w = TDigest(cfg.tdigest_compression).add(lens).to_arrays()
+        m, w = np.asarray(m, np.float64), np.asarray(w, np.float64)
         return pa.table(
             {
                 "td_means": pa.array([m], pa.list_(pa.float64())),
                 "td_weights": pa.array([w], pa.list_(pa.float64())),
+                # content-derived sort key: t-digest merge is order-sensitive,
+                # so the driver merge below sorts partials by these stats to
+                # make the final digest independent of batch ARRIVAL order
+                # (ADVICE r4: arrival-order merging could drift rel_err
+                # against the 2 % pin)
+                "td_wsum": pa.array([float(w.sum())], pa.float64()),
+                "td_mwsum": pa.array([float((m * w).sum())], pa.float64()),
+                "td_mfirst": pa.array(
+                    [float(m[0]) if len(m) else 0.0], pa.float64()
+                ),
             }
         )
 
-    rows = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=cfg.batch_size
-    ).to_pandas()  # O(batches) sketch rows, KB-scale
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .to_pandas()  # O(batches) sketch rows, KB-scale
+        .sort_values(
+            ["td_wsum", "td_mwsum", "td_mfirst"], kind="mergesort", ignore_index=True
+        )
+    )
     td = TDigest(cfg.tdigest_compression)
     for m, w in zip(rows["td_means"], rows["td_weights"]):
         td = td.merge(TDigest.from_arrays(m, w, cfg.tdigest_compression))

@@ -316,36 +316,70 @@ def _train_sample_hash(
     One metadata count sizes a digest cutoff keeping ~4× the target (binomial
     concentration makes a shortfall below ``sample_size`` vanishingly rare),
     one streaming filter pass collects the survivors, and the digest-smallest
-    ``sample_size`` are chosen — bounded driver memory, no sort shuffle."""
+    ``sample_size`` are chosen — bounded driver memory, no sort shuffle.
+
+    Guards (ADVICE r4): an empty dataset returns an empty typed table (no
+    ``pa.concat_tables([])`` crash), and a survivor shortfall below
+    ``sample_size`` — binomially rare at the 4× cutoff but possible — is
+    logged and topped up by retrying with a widened cutoff (8× per retry,
+    capped at keep-everything)."""
+    import logging
+
     from ..functions.hashing import md5_digests_of_prefixed_ints
 
     n = ds.count()
-    frac = min(1.0, (4.0 * sample_size) / max(n, 1))
-    cutoff = np.uint64(frac * float(1 << 32))
+    empty = pa.table(
+        {
+            id_col: pa.array([], ds.schema().base_schema.field(id_col).type),
+            vec_col: pa.array([], ds.schema().base_schema.field(vec_col).type),
+            "__dkey": pa.array([], pa.int64()),
+        }
+    ) if n else None
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                vec_col: pa.array([], pa.large_list(pa.float64())),
+                "__dkey": pa.array([], pa.int64()),
+            }
+        )
     prefix = f"ivf{seed}:".encode()
 
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        dg = md5_digests_of_prefixed_ints(prefix, ids)
-        key = (
-            (dg[:, 0].astype(np.uint64) << 24)
-            | (dg[:, 1].astype(np.uint64) << 16)
-            | (dg[:, 2].astype(np.uint64) << 8)
-            | dg[:, 3].astype(np.uint64)
-        )
-        keep = key < cutoff
-        out = t.select([id_col, vec_col]).filter(pa.array(keep))
-        return out.append_column(
-            "__dkey", pa.array(key[keep].astype(np.int64))
-        )
+    def collect(cutoff: np.uint64) -> pa.Table:
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            dg = md5_digests_of_prefixed_ints(prefix, ids)
+            key = (
+                (dg[:, 0].astype(np.uint64) << 24)
+                | (dg[:, 1].astype(np.uint64) << 16)
+                | (dg[:, 2].astype(np.uint64) << 8)
+                | dg[:, 3].astype(np.uint64)
+            )
+            keep = key < cutoff
+            out = t.select([id_col, vec_col]).filter(pa.array(keep))
+            return out.append_column(
+                "__dkey", pa.array(key[keep].astype(np.int64))
+            )
 
-    samp = pa.concat_tables(
-        list(
-            ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batches = [
+            b
+            for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow", batch_size=None
             )
+            if b.num_rows
+        ]
+        return pa.concat_tables(batches) if batches else empty
+
+    frac = min(1.0, (4.0 * sample_size) / n)
+    samp = collect(np.uint64(frac * float(1 << 32)))
+    target = min(sample_size, n)
+    while len(samp) < target and frac < 1.0:
+        frac = min(1.0, frac * 8.0)
+        logging.getLogger(__name__).warning(
+            "_train_sample_hash: %d survivors < target %d — widening digest "
+            "cutoff to frac=%.4g and re-collecting", len(samp), target, frac
         )
-    )
+        samp = collect(np.uint64(frac * float(1 << 32)))
     order = pa.compute.sort_indices(
         samp, sort_keys=[("__dkey", "ascending"), (id_col, "ascending")]
     )

@@ -78,3 +78,25 @@ def test_curation_multishard_matches_oracle_and_resumes(tmp_path, sf_dir):
     # resume skips completed shards: manifests untouched, summary identical
     again = run_curation(str(corpus), str(out), resume=True)
     assert again["n_final"] == summary["n_final"]
+
+
+def test_curation_resume_detects_regenerated_input(tmp_path, sf_dir):
+    """ADVICE r4: a corpus regenerated in place must invalidate the pinned
+    checkpoints — the input fingerprint (footer row count + mtime) mismatch
+    forces a full rebuild instead of silently reusing stale output."""
+    corpus = _split_corpus(sf_dir, tmp_path / "corpus", n_shards=2)
+    out = tmp_path / "run"
+    first = run_curation(str(corpus), str(out), resume=True)
+
+    # regenerate shard 1 in place with half its rows (row count changes)
+    victim = corpus / "part-1.parquet"
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, t.num_rows // 2), victim)
+
+    rebuilt = run_curation(str(corpus), str(out), resume=True)
+    assert rebuilt["n_input"] < first["n_input"]
+    # the recorded fingerprint now matches the regenerated input, so a
+    # further resume is a cheap no-op with the same summary
+    again = run_curation(str(corpus), str(out), resume=True)
+    assert again["n_input"] == rebuilt["n_input"]
+    assert again["n_final"] == rebuilt["n_final"]

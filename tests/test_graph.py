@@ -150,6 +150,34 @@ def test_max_rounds_exhaustion_warns(caplog):
     assert any("max_rounds" in rec.message for rec in caplog.records)
 
 
+def test_shuffled_chain_non_shortcut_auto_cap_converges():
+    """ADVICE r4: a ~60-node id-permuted chain with shortcut=False exhausted
+    the fixed 50-round cap and emitted wrong labels behind a log line. With
+    the auto cap (scales to the node-count diameter bound) it must converge
+    exactly; permuted ids defeat the in-bucket local-fixpoint collapse, so
+    this is the worst case for plain propagation."""
+    import numpy as np
+
+    n = 60
+    rng = np.random.RandomState(13)
+    ids = rng.permutation(10_000)[: n + 1].astype(np.int64)
+    edges = [(int(ids[i]), int(ids[i + 1])) for i in range(n)]
+    stats: dict = {}
+    out = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(
+            _pairs(edges),
+            mode="distributed",
+            num_buckets=16,
+            shortcut=False,
+            stats=stats,
+        ).take_all()
+    }
+    root = int(ids.min())
+    assert stats["converged"]
+    assert out == {int(i): root for i in ids}
+
+
 def test_distributed_components_at_scale_match_driver_kernel():
     """Scale smoke for the one-exchange round loop: a 100k-edge graph
     (near-cliques + short chains over ~58k nodes) forced distributed must

