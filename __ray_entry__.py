@@ -27,42 +27,92 @@ def entry() -> Any:
     return V.q_all_violations("/root/testdata/sf0.001")
 
 
-#: Round-4 rotation of the driver's first-50 correctness sample. The driver
-#: oracle-checks only the FIRST 50 ``queries()`` entries, so each round the
-#: dict is reordered to surface oracle-backed queries the driver has not yet
-#: hash-verified (VERDICT r3 #2). This round: 47 locally-green, never
-#: driver-checked queries, plus the three connected-components consumers
-#: (refactored this round to the Dataset-valued label hand-off) so the
-#: refactor itself is driver-validated. Keys not listed keep their original
-#: relative order after these.
-_R4_FIRST_50 = [
-    "t_token_entropy", "t_tfidf_top_terms", "d_epoch_shuffle",
-    "d_curriculum_order", "d_interleave_sources", "d_token_budget_sample",
-    "d_split_leakage_safe", "d_label_centroids", "t_quality_gate",
-    "d_mix_manifest",
-    # CC-refactor validation (driver-checked green in r03; re-checked after
-    # the Dataset-valued connected-components hand-off)
-    "d_dup_components", "d_dup_cluster_sizes", "d_dedup_keep",
-    "d_substring_dup_docs", "t_domain_stats", "t_source_lang_rollup",
-    "t_len_zscores", "t_len_percentile_rank", "d_label_text_stats",
-    "e_cohort_retention", "t_distinct_terms", "t_pii_redact",
-    "t_c4_line_filter", "d_line_dedup", "d_snapshot_diff",
-    "t_keyword_in_context", "t_unicode_normalize", "t_len_token_corr",
-    "d_edit_distance_pairs", "d_bm25_topk", "t_repetition_scores",
-    "t_doc_filter_verdicts", "d_curate_keep", "t_unigram_logprob",
-    "t_bigram_logprob", "t_oov_rate", "t_ngram_novelty",
-    "t_source_js_divergence", "t_char_entropy", "t_type_token_ratio",
-    "t_len_gini", "t_source_mix_weights", "t_whitespace_anomalies",
-    "t_inverted_index", "mm_decode", "mm_frame_sample",
-    "d_chunk_documents", "v_ts_regressions", "v_role_sequences",
-    # new this round (oracle-backed): weighted sampling
-    "d_weighted_sample",
+#: Every oracle-backed query the external driver has hash-verified (rows +
+#: schema + value hash) across CORRECTNESS_r01–r04 — the cumulative record
+#: ADVICE r4 asked for, so rotated-out regressions are tracked: the local
+#: parity sweep (`tests/test_oracle_parity.py`, dtype-exact, same compare)
+#: re-covers this whole set every round, and the meta-test below pins the
+#: union of this set and the current window to the full oracle-backed
+#: inventory once rotation completes.
+_DRIVER_CHECKED_R1_R4 = [
+    "d_bm25_topk", "d_chunk_documents", "d_cluster_balanced_sample",
+    "d_cosine_near_dup", "d_curate_keep", "d_curriculum_order",
+    "d_decontaminate", "d_dedup_keep", "d_dup_components",
+    "d_dup_cluster_sizes", "d_edit_distance_pairs", "d_epoch_shuffle",
+    "d_exact_dedup", "d_interleave_sources", "d_kmeans_assign",
+    "d_kmeans_iter", "d_knn", "d_label_centroids", "d_label_text_stats",
+    "d_line_dedup", "d_mix_manifest", "d_ngram_decontaminate",
+    "d_ngram_jaccard", "d_pack_chunks", "d_quantize_embeddings",
+    "d_sample_documents", "d_semantic_dedup", "d_snapshot_diff",
+    "d_split_leakage_safe", "d_stratified_sample", "d_substring_dup_docs",
+    "d_token_budget_sample", "d_weighted_sample", "e_asof_last_signup",
+    "e_cohort_retention", "e_hourly_event_counts", "e_parse_props",
+    "e_user_sessions", "mm_decode", "mm_frame_sample", "r_events_by_nation",
+    "r_pricing_summary", "t_bigram_counts", "t_bigram_logprob",
+    "t_c4_line_filter", "t_char_entropy", "t_distinct_terms",
+    "t_doc_filter_verdicts", "t_domain_stats", "t_fingerprints",
+    "t_keyword_in_context", "t_langid", "t_len_gini",
+    "t_len_percentile_rank", "t_len_token_corr", "t_len_zscores",
+    "t_ngram_novelty", "t_oov_rate", "t_pii_redact", "t_pmi_bigrams",
+    "t_quality_gate", "t_repetition_scores", "t_source_js_divergence",
+    "t_source_lang_rollup", "t_source_mix_weights", "t_subtoken_counts",
+    "t_tfidf_top_terms", "t_token_entropy", "t_token_stats",
+    "t_top_terms", "t_top_terms_by_source", "t_two_tier_scores",
+    "t_type_token_ratio", "t_unicode_normalize", "t_unigram_logprob",
+    "t_whitespace_anomalies", "t_inverted_index", "v_adjusted_scores",
+    "v_all_violations", "v_artifact_rows", "v_column_stats",
+    "v_conversation_verdicts", "v_drift_report", "v_duplicate_keys",
+    "v_partition_verdicts", "v_role_distribution", "v_role_drift",
+    "v_role_sequences", "v_row_violations", "v_text_len_quantiles",
+    "v_threshold_sweep", "v_ts_quantiles", "v_ts_regressions",
+    "v_turn_gaps", "v_verdicts", "v_worst_turns",
 ]
+
+#: Round-5 rotation of the driver's first-50 correctness sample (VERDICT r4
+#: #1): the 31 oracle-backed queries never driver-checked in r1–r4 — the
+#: whole relational family, the remaining event queries, and the ``v_*``
+#: transcript extras — which COMPLETES 128/128 cumulative driver
+#: verification of the oracle-backed inventory, plus the new
+#: ``d_interleave_starvation`` and 18 high-risk anchors (ADVICE r4: code
+#: paths touched this round — the connected-components reducer/auto-cap,
+#: the pruned+fingerprinted curation, the rb_bits-parameterized interleave,
+#: multimodal — and the flagship validation family). Keys not listed keep
+#: their original relative order after these.
+_R5_FIRST_50 = [
+    # -- never driver-checked: relational family (14)
+    "r_pricing_summary", "r_events_by_nation", "r_priority_returns",
+    "r_customer_order_counts", "r_shipping_priority", "r_top_suppliers",
+    "r_promo_revenue", "r_local_supplier_volume", "r_nation_trade_volume",
+    "r_shipmode_priority", "r_banded_revenue", "r_returned_item_customers",
+    "r_min_price_supplier", "r_dormant_rich_customers",
+    # -- never driver-checked: event family (4)
+    "e_user_arrival_rate", "e_sliding_event_counts", "e_signup_attribution",
+    "e_funnel_counts",
+    # -- never driver-checked: transcript/document extras (15)
+    "v_rolling_text_len", "v_len_outliers", "v_role_transitions",
+    "v_response_latency", "v_repost_suppression", "v_dup_key_resolution",
+    "v_missing_turn_ranges", "v_conversation_profile", "v_bucket_balance",
+    "v_training_examples", "v_conversation_digest", "v_conversation_texts",
+    "t_len_quantiles_by_source", "t_longest_docs_by_source",
+    "d_dup_rate_by_source",
+    # -- new this round (oracle-backed): interleave starvation counter
+    "d_interleave_starvation",
+    # -- anchors: code paths touched this round
+    "d_dup_components", "d_dup_cluster_sizes", "d_dedup_keep",
+    "d_substring_dup_docs", "d_mix_manifest", "d_curate_keep",
+    "d_interleave_sources", "mm_decode", "mm_frame_sample",
+    # -- anchors: flagship validation + dedup core
+    "v_all_violations", "v_row_violations", "v_verdicts", "v_column_stats",
+    "v_text_len_quantiles", "d_exact_dedup", "d_ngram_jaccard",
+]
+
+# r_pricing_summary and r_events_by_nation were driver-checked in r1 before
+# the relational family widened; they anchor the family here regardless.
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _query_registry()
-    ordered = {k: base[k] for k in _R4_FIRST_50}
+    ordered = {k: base[k] for k in _R5_FIRST_50}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 
@@ -129,6 +179,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "d_epoch_shuffle": D.q_epoch_shuffle,
         "d_curriculum_order": D.q_curriculum_order,
         "d_interleave_sources": D.q_interleave_sources,
+        "d_interleave_starvation": D.q_interleave_starvation,
         "d_token_budget_sample": D.q_token_budget_sample,
         "d_split_leakage_safe": D.q_split_leakage_safe,
         "d_label_centroids": D.q_label_centroids,
@@ -274,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "d_epoch_shuffle": O.sql_epoch_shuffle(D.EPOCH_SHUFFLE_SEED),
         "d_curriculum_order": O.sql_curriculum_order(D.CURRICULUM_SEED),
         "d_interleave_sources": O.sql_interleave_sources(D.INTERLEAVE_SEED),
+        "d_interleave_starvation": O.SQL_INTERLEAVE_STARVATION,
         "d_token_budget_sample": O.sql_token_budget_sample(
             D.BUDGET_SEED, D.TOKEN_BUDGET
         ),

@@ -4863,7 +4863,7 @@ def q_curriculum_order(sf_dir: str):
 INTERLEAVE_SEED = "il1:"
 
 
-def q_interleave_sources(sf_dir: str):
+def q_interleave_sources(sf_dir: str, rb_bits: int = 6):
     """Deterministic source interleaving — the data-loader mixing step:
     every document gets a round-robin slot ``rank_in_source · K + src_idx``
     (K sources, seeded-md5 rank within each source), so a loader reading
@@ -4876,8 +4876,10 @@ def q_interleave_sources(sf_dir: str):
     curriculum): per-batch (source, rb) counts → tiny exchange → driver
     per-source exclusive-cumsum over digest-range buckets → one group-keyed
     exchange assigning local ranks. Only fixed-width keys move; the digest
-    range width (6 bits here) widens with cluster size exactly as
-    ``d_epoch_shuffle`` documents, bounding any one source's reduce tasks.
+    range width (``rb_bits``, tunable — widen with cluster size exactly as
+    ``d_epoch_shuffle`` documents) bounds any one source's reduce tasks;
+    the emitted slots are INVARIANT to it (ranks order by the full digest,
+    rb is just its prefix — pytest asserts equality across widths).
     """
     import numpy as np
     import pandas as pd
@@ -4893,7 +4895,7 @@ def q_interleave_sources(sf_dir: str):
         )
         hi = dg[:, :8].copy().view(">u8").ravel().astype(np.uint64)
         lo = dg[:, 8:].copy().view(">u8").ravel().astype(np.uint64)
-        rb = (hi >> np.uint64(58)).astype(np.int64)
+        rb = (hi >> np.uint64(64 - rb_bits)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -4977,4 +4979,51 @@ def q_interleave_sources(sf_dir: str):
             ),
             batch_format="pandas",
         )
+    )
+
+
+def q_interleave_starvation(sf_dir: str):
+    """The per-source starvation counter the interleave contract promises
+    (VERDICT r4 #7): after the shortest source exhausts, its round-robin
+    slots go empty — per source this reports how many rounds it serves
+    (= its doc count) and how many it starves (= the longest source's
+    rounds minus its own). Computed FROM the emitted slot assignment, so it
+    also cross-validates the rank construction: ranks are a contiguous
+    0..n-1 per source, hence ``max_slot`` must equal ``(n-1)·K + src_idx``
+    exactly — a duplicate or missing rank would break the equality against
+    the SQL twin, which derives the same columns from counts alone.
+
+    One source-keyed exchange over (doc_id-free) slot rows → K-row driver
+    table; the corpus never moves.
+    """
+    import numpy as np
+
+    from ..stages.exchange import hash_bucket_aggregate
+
+    slots = q_interleave_sources(sf_dir).select_columns(["source", "slot"])
+    agg = (
+        hash_bucket_aggregate(
+            slots.map_batches(
+                lambda t: t.group_by("source").aggregate(
+                    [("slot", "max"), ([], "count_all")]
+                ).rename_columns(["source", "max_slot", "n_docs"]),
+                batch_format="pyarrow",
+            ),
+            ["source"],
+            {"max_slot": ("max_slot", "max"), "n_docs": ("n_docs", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    max_rounds = int(agg["n_docs"].max())
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].astype(str), pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64), pa.int64()),
+            "max_slot": pa.array(agg["max_slot"].to_numpy(np.int64), pa.int64()),
+            "starved_rounds": pa.array(
+                max_rounds - agg["n_docs"].to_numpy(np.int64), pa.int64()
+            ),
+        }
     )

@@ -2093,3 +2093,22 @@ k AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k FROM documents)
 SELECT doc_id, source, CAST(rk * k.k + sidx AS BIGINT) AS slot
 FROM r CROSS JOIN k
 """
+
+
+#: Twin of ``documents.q_interleave_starvation``: per-source round-robin
+#: starvation from counts alone — the engine derives the same columns from
+#: the emitted slot assignment, so equality also proves rank contiguity.
+SQL_INTERLEAVE_STARVATION = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+i AS (
+  SELECT source, n,
+         row_number() OVER (ORDER BY source) - 1 AS src_idx,
+         count(*) OVER () AS k,
+         max(n) OVER () AS max_n
+  FROM c)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST((n - 1) * k + src_idx AS BIGINT) AS max_slot,
+       CAST(max_n - n AS BIGINT) AS starved_rounds
+FROM i
+"""

@@ -279,3 +279,32 @@ def test_dup_rate_by_source_rollup(sf_dir):
     assert len(dup) >= 1  # the corpus plants near-dup pairs
     for _, r in rows.iterrows():
         assert r.dup_rate == round(r.n_dup_docs / r.n_docs, 6)
+
+
+def test_interleave_rb_bits_invariance_and_starvation(sf_dir):
+    """The digest-range width is a pure parallelism knob: the emitted slots
+    must be identical across widths (ranks order by the full digest; rb is
+    its prefix). The starvation counter derives from the slot assignment,
+    so its max_slot column also proves per-source rank contiguity."""
+    import pandas as pd
+
+    from doc_quality_check_ray.pipelines.documents import (
+        q_interleave_sources,
+        q_interleave_starvation,
+    )
+
+    s6 = q_interleave_sources(sf_dir, rb_bits=6).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    s4 = q_interleave_sources(sf_dir, rb_bits=4).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(s6, s4, check_exact=True)
+
+    stv = q_interleave_starvation(sf_dir).to_pandas()
+    k = len(stv)
+    # rank contiguity: max_slot == (n_docs-1)*K + src_idx for sorted sources
+    for i, row in stv.sort_values("source", ignore_index=True).iterrows():
+        assert row.max_slot == (row.n_docs - 1) * k + i
+    assert (stv.starved_rounds == stv.n_docs.max() - stv.n_docs).all()
+    assert (stv.starved_rounds == 0).sum() >= 1  # the longest source never starves

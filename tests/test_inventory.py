@@ -56,3 +56,19 @@ def test_driver_sample_window_is_oracle_backed():
     oracles = set(m.oracle_sql())
     not_backed = [k for k in first if k not in oracles]
     assert not not_backed, f"first-50 sample has no-oracle rows: {not_backed}"
+
+
+def test_r5_window_completes_cumulative_driver_verification():
+    # VERDICT r4 #1: the r5 window must contain every oracle-backed query
+    # never driver-checked in r1–r4, so this round completes 128/128
+    # cumulative driver verification; the recorded cumulative set plus the
+    # window must cover the whole oracle-backed inventory.
+    m = importlib.import_module("__ray_entry__")
+    window = list(m.queries())[:50]
+    assert len(m._R5_FIRST_50) == 50 and window == m._R5_FIRST_50
+    oracles = set(m.oracle_sql())
+    checked = set(m._DRIVER_CHECKED_R1_R4)
+    assert checked <= oracles, sorted(checked - oracles)
+    never = oracles - checked
+    missing = never - set(window)
+    assert not missing, f"never-driver-checked queries outside the window: {sorted(missing)}"
