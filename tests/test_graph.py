@@ -201,3 +201,30 @@ def test_distributed_components_at_scale_match_driver_kernel():
     )
     assert got == want
     assert st["converged"] and st["rounds"] <= 12
+
+
+def test_shortcut_rounds_within_log2_diameter_bound():
+    """VERDICT r4 #5 bound pin: with shortcut on, the exchange loop must
+    resolve an id-PERMUTED chain (permutation defeats the in-bucket
+    local-fixpoint collapse, so this is the pointer-doubling worst case)
+    in at most log2(diameter) + 2 rounds."""
+    import math
+
+    import numpy as np
+
+    n = 4096  # diameter 4095 -> bound = ceil(log2) + 2 = 14
+    ids = np.random.RandomState(11).permutation(
+        np.arange(10 * n, dtype=np.int64)
+    )[:n]
+    pairs = pa.table(
+        {"a_id": pa.array(ids[:-1]), "b_id": pa.array(ids[1:])}
+    )
+    st: dict = {}
+    out = connected_components(
+        pairs, mode="distributed", num_buckets=16, shortcut=True, stats=st
+    )
+    labels = {r["doc_id"]: r["component_id"] for r in out.take_all()}
+    root = int(ids.min())
+    assert labels == {int(i): root for i in ids}
+    assert st["converged"]
+    assert st["rounds"] <= math.ceil(math.log2(n - 1)) + 2
