@@ -973,7 +973,12 @@ def ngram_jaccard_pairs(
         (hash, doc) pairs by hash — every run of length m contributes its
         m·(m-1)/2 doc pairs one shared-shingle count each. Work is
         Σ m(m-1)/2 over co-occurring shingles (≈ the true intersection
-        mass), not n²·set-ops; jaccard = c / (|a| + |b| - c)."""
+        mass), not n²·set-ops; jaccard = c / (|a| + |b| - c).
+
+        Fully vectorized: runs are bucketed by length so intra-run pairs
+        come from one fancy-index + ``triu_indices`` broadcast per DISTINCT
+        run length (a handful of numpy calls), and pair counting is a single
+        ``np.unique`` over i·n+j keys — no Python loop over runs or pairs."""
         n = len(g)
         toks, offs = token_hashes(pa.array(g[text_col].tolist(), pa.string()))
         sh, so = shingle_hashes(toks, offs, k=shingle_k)
@@ -992,25 +997,39 @@ def ngram_jaccard_pairs(
         run_start[1:] = v2[1:] != v2[:-1]
         starts = np.flatnonzero(run_start)
         lens = np.diff(np.append(starts, len(v2)))
-        inter: dict[int, int] = {}
-        for s, m in zip(starts[lens > 1], lens[lens > 1]):
-            docs = np.sort(d2[s : s + m])
-            r, c = np.triu_indices(m, k=1)
-            for key in docs[r] * n + docs[c]:
-                inter[key] = inter.get(key, 0) + 1
-        ids = g[id_col].to_numpy()
-        rows = []
-        for key, cnt in inter.items():
-            i, j = divmod(int(key), n)
-            sim = cnt / float(sizes[i] + sizes[j] - cnt)
-            if sim >= threshold:
-                a, b = int(ids[i]), int(ids[j])
-                if a > b:
-                    a, b = b, a
-                rows.append((a, b, round_half_away_scalar(sim, 6)))
-        rows.sort()
-        out = pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"])
-        return out.astype({"a_id": "int64", "b_id": "int64", "jaccard": "float64"})
+        sel = lens > 1
+        starts_m, lens_m = starts[sel], lens[sel]
+        key_parts = []
+        for m in np.unique(lens_m):
+            s_m = starts_m[lens_m == m]
+            docs = np.sort(d2[s_m[:, None] + np.arange(m)], axis=1)
+            r, c = np.triu_indices(int(m), k=1)
+            key_parts.append((docs[:, r] * n + docs[:, c]).ravel())
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "jaccard": []})
+        empty = empty.astype(
+            {"a_id": "int64", "b_id": "int64", "jaccard": "float64"}
+        )
+        if not key_parts:
+            return empty
+        ukeys, cnt = np.unique(np.concatenate(key_parts), return_counts=True)
+        i, j = ukeys // n, ukeys % n
+        sim = cnt / (sizes[i] + sizes[j] - cnt)
+        ok = sim >= threshold
+        if not ok.any():
+            return empty
+        i, j, sim = i[ok], j[ok], sim[ok]
+        ids = g[id_col].to_numpy().astype(np.int64)
+        a, b = ids[i], ids[j]
+        swap = a > b
+        a, b = np.where(swap, b, a), np.where(swap, a, b)
+        order = np.lexsort((b, a))
+        return pd.DataFrame(
+            {
+                "a_id": a[order],
+                "b_id": b[order],
+                "jaccard": round_half_away(sim, 6)[order],
+            }
+        )
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
 
