@@ -3750,16 +3750,23 @@ def q_bigram_logprob(sf_dir: str):
 
     def count_partial(t: pa.Table) -> pa.Table:
         h1, h2, _, _, _ = _bigrams(t)
-        key = np.stack([h1, h2], axis=1)
         if len(h1):
-            uniq, counts = np.unique(key, axis=0, return_counts=True)
+            # lexsort + run-length encode == np.unique(axis=0) with counts,
+            # minus the slow void-view row comparison path
+            order = np.lexsort((h2, h1))
+            s1, s2 = h1[order], h2[order]
+            start = np.ones(len(s1), bool)
+            start[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+            starts = np.flatnonzero(start)
+            u1, u2 = s1[starts], s2[starts]
+            counts = np.diff(np.append(starts, len(s1)))
         else:
-            uniq = np.zeros((0, 2), np.uint64)
+            u1 = u2 = np.zeros(0, np.uint64)
             counts = np.zeros(0, np.int64)
         return pa.table(
             {
-                "h1": pa.array(uniq[:, 0], pa.uint64()),
-                "h2": pa.array(uniq[:, 1], pa.uint64()),
+                "h1": pa.array(u1, pa.uint64()),
+                "h2": pa.array(u2, pa.uint64()),
                 "c": pa.array(counts.astype(np.int64)),
             }
         )
@@ -4274,12 +4281,16 @@ def q_ngram_novelty(sf_dir: str):
         ok = row_of[2:] == row_of[:-2]
         sh = (toks[:-2] * mults[0]) ^ (toks[1:-1] * mults[1]) ^ (toks[2:] * mults[2])
         sh, srow = sh[ok], row_of[:-2][ok]
-        key = np.stack([srow.astype(np.uint64), sh], axis=1)
-        uniq = np.unique(key, axis=0)
+        # lexsort + neighbor mask == np.unique(axis=0) on (row, shingle),
+        # minus the slow void-view row comparison path
+        order = np.lexsort((sh, srow))
+        s2, r2 = sh[order], srow[order]
+        keep = np.ones(len(s2), bool)
+        keep[1:] = (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])
         return pa.table(
             {
-                "sh": pa.array(uniq[:, 1], pa.uint64()),
-                "doc_id": pa.array(ids[uniq[:, 0].astype(np.int64)], pa.int64()),
+                "sh": pa.array(s2[keep], pa.uint64()),
+                "doc_id": pa.array(ids[r2[keep]], pa.int64()),
             }
         )
 
