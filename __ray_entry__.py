@@ -95,16 +95,21 @@ _R5_FIRST_50 = [
     "v_training_examples", "v_conversation_digest", "v_conversation_texts",
     "t_len_quantiles_by_source", "t_longest_docs_by_source",
     "d_dup_rate_by_source",
-    # -- new this round (oracle-backed): interleave starvation counter
-    "d_interleave_starvation",
+    # -- new this round (oracle-backed): interleave starvation counter and
+    #    the per-source contribution cap (both enter the window so their
+    #    first driver check happens the round they ship)
+    "d_interleave_starvation", "d_source_cap",
     # -- anchors: code paths touched this round
     "d_dup_components", "d_dup_cluster_sizes", "d_dedup_keep",
     "d_substring_dup_docs", "d_mix_manifest", "d_curate_keep",
     "d_interleave_sources", "mm_decode", "mm_frame_sample",
     # -- anchors: flagship validation + dedup core
     "v_all_violations", "v_row_violations", "v_verdicts", "v_column_stats",
-    "v_text_len_quantiles", "d_exact_dedup", "d_ngram_jaccard",
+    "d_exact_dedup", "d_ngram_jaccard",
 ]
+
+# v_text_len_quantiles rotated out (driver-checked r3, code path untouched
+# this round) to make room for d_source_cap while keeping the window at 50.
 
 # r_pricing_summary and r_events_by_nation were driver-checked in r1 before
 # the relational family widened; they anchor the family here regardless.
@@ -163,6 +168,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "t_top_terms_by_source": D.q_top_terms_by_source,
         "d_sample_documents": D.q_sample_documents,
         "d_weighted_sample": D.q_weighted_sample,
+        "d_source_cap": D.q_source_cap,
         "v_tdigest_quantile_error": V.q_tdigest_quantile_error,
         "d_decontaminate": D.q_decontaminate,
         "d_ngram_decontaminate": D.q_ngram_decontaminate,
@@ -306,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "t_top_terms_by_source": O.sql_top_terms_by_source(),
         "d_sample_documents": O.sql_sample_documents(D.SAMPLE_HEX_LT),
         "d_weighted_sample": O.sql_weighted_sample(D.WSAMPLE_SEED, D.WSAMPLE_K),
+        "d_source_cap": O.sql_source_cap(D.SOURCE_CAP_SEED, D.SOURCE_CAP_K),
         "d_decontaminate": O.sql_decontaminate(D.SAMPLE_HEX_LT),
         "d_ngram_decontaminate": O.sql_ngram_decontaminate(
             D.SAMPLE_HEX_LT, D.NGRAM_DECON_K

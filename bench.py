@@ -130,6 +130,7 @@ QUERY_NAMES = [
     "d_dup_rate_by_source",
     "v_tdigest_quantile_error",
     "d_interleave_starvation",
+    "d_source_cap",
 ]
 
 

@@ -550,6 +550,83 @@ def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
     )
 
 
+#: per-source contribution cap — seed prefix and cap size (small enough to
+#: BIND at the sf0.01 driver-check scale, so the hash check exercises the
+#: top-k selection, not just the pass-through)
+SOURCE_CAP_SEED = "scap1:"
+SOURCE_CAP_K = 15
+
+
+def q_source_cap(sf_dir: str, k: int = SOURCE_CAP_K):
+    """Per-source contribution cap: keep at most ``k`` documents per source,
+    chosen by seeded-md5 order of doc_id — the "bound any single feed's
+    influence on the training mix" curation operator (the per-source
+    analog of per-user contribution capping in corpus assembly; a
+    deterministic reservoir, so reruns and the SQL twin pick the identical
+    k-set bit-for-bit).
+
+    Scale shape: one streaming pass keeps a PER-BATCH per-source top-k on
+    the 32-bit seeded digest prefix (exact: the global per-source top-k is
+    contained in the union of per-batch per-source top-ks for any row
+    partition), then a tiny source-keyed exchange prunes the bounded
+    partials (blocks × sources × k rows) to the final k per source. The
+    corpus itself never shuffles and the driver never sees it. Total order
+    is (digest_prefix, doc_id) on both sides — DuckDB parses the same 8
+    hex chars via ``CAST(concat('0x', …) AS UBIGINT)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import md5_digests_of_prefixed_ints
+
+    prefix = SOURCE_CAP_SEED.encode()
+
+    def partial_cap(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "v": pa.array([], pa.uint64()),
+                }
+            )
+        dg = md5_digests_of_prefixed_ints(prefix, ids.astype(np.uint64))
+        v = (
+            (dg[:, 0].astype(np.uint64) << 24)
+            | (dg[:, 1].astype(np.uint64) << 16)
+            | (dg[:, 2].astype(np.uint64) << 8)
+            | dg[:, 3].astype(np.uint64)
+        )
+        codes, _ = pd.factorize(t["source"].to_pandas(), sort=False)
+        order = np.lexsort((ids, v, codes))
+        c = codes[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        rank = np.arange(len(c)) - np.repeat(
+            starts, np.diff(np.append(starts, len(c)))
+        )
+        sel = order[rank < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel]),
+                "source": t["source"].take(pa.array(sel)),
+                "v": pa.array(v[sel], pa.uint64()),
+            }
+        )
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["v", "doc_id"], kind="mergesort").head(k)
+        return out[["doc_id", "source"]].astype({"doc_id": "int64"})
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        .map_batches(partial_cap, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final_cap, batch_format="pandas")
+    )
+
+
 def q_top_terms_by_source(sf_dir: str, k: int = 5):
     """Grouped top-k with label: the k most frequent tokens per ``source``
     (tie → token asc) — per-batch combiner → (source, token) exchange →

@@ -885,6 +885,25 @@ SELECT doc_id, source, n_tokens FROM keyed ORDER BY key LIMIT {k}
 """
 
 
+def sql_source_cap(seed: str, k: int) -> str:
+    """Twin of documents.q_source_cap: row_number over (source, seeded-md5
+    32-bit hex prefix of doc_id, doc_id) ≤ k — DuckDB parses the identical
+    8 hex chars as UBIGINT, so the per-source kept k-set matches the
+    engine's (digest_prefix, doc_id) order bit-for-bit."""
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substring(
+                      md5('{seed}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
 def sql_ngram_decontaminate(hex_lt: str, k: int = 5) -> str:
     """Twin of documents.q_ngram_decontaminate: distinct contaminated token
     k-grams per unsampled doc, joining gram STRINGS (the engine joins 64-bit

@@ -308,3 +308,42 @@ def test_interleave_rb_bits_invariance_and_starvation(sf_dir):
         assert row.max_slot == (row.n_docs - 1) * k + i
     assert (stv.starved_rounds == stv.n_docs.max() - stv.n_docs).all()
     assert (stv.starved_rounds == 0).sum() >= 1  # the longest source never starves
+
+
+def test_source_cap_matches_exhaustive_selection(sf_dir):
+    """The per-batch per-source top-k + source-keyed prune must keep exactly
+    the k smallest (seeded-digest, doc_id) rows per source that an
+    exhaustive driver-side hashlib computation selects, and never more than
+    k per source."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from doc_quality_check_ray.pipelines.documents import (
+        SOURCE_CAP_K,
+        SOURCE_CAP_SEED,
+        q_source_cap,
+    )
+
+    got = q_source_cap(sf_dir).to_pandas()
+    assert sorted(got.columns) == ["doc_id", "source"]
+    assert got.groupby("source").size().max() <= SOURCE_CAP_K
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    docs["v"] = [
+        int(hashlib.md5(f"{SOURCE_CAP_SEED}{i}".encode()).hexdigest()[:8], 16)
+        for i in docs["doc_id"]
+    ]
+    want = (
+        docs.sort_values(["v", "doc_id"], kind="mergesort")
+        .groupby("source", sort=False)
+        .head(SOURCE_CAP_K)[["doc_id", "source"]]
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["source", "doc_id"], ignore_index=True),
+        want.sort_values(["source", "doc_id"], ignore_index=True),
+        check_exact=True,
+    )
