@@ -22,7 +22,6 @@ generalize to content dedup (SURVEY.md §2.8 D1-D3):
 
 from __future__ import annotations
 
-import itertools
 import logging
 
 import numpy as np
@@ -144,25 +143,37 @@ def _signature_batches(
     )
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
-    """All id pairs within one band bucket, capped at ``max_bucket`` ids.
-
-    The cap bounds worst-case pair blowup on degenerate hot buckets (e.g. a
-    corpus of near-identical boilerplate); truncation is LOGGED, never
-    silent — dropped ids reduce recall and the operator says so.
-    """
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) > max_bucket:
+def _grouped_triu_pairs(
+    starts: np.ndarray, lens: np.ndarray, d: np.ndarray, max_bucket: int,
+    what: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized all-pairs expansion over RLE runs of a sorted-by-group
+    array ``d`` (doc ids, ascending and distinct within each run): runs are
+    bucketed by length so pair generation is one fancy-index +
+    ``triu_indices`` broadcast per DISTINCT run length. Runs longer than
+    ``max_bucket`` are clipped to their first ``max_bucket`` ids with a
+    logged warning (the cap bounds worst-case pair blowup on degenerate hot
+    buckets — truncation reduces recall and the operator says so)."""
+    sel = lens > 1
+    starts_m, lens_m = starts[sel], lens[sel]
+    for m in lens_m[lens_m > max_bucket]:
         logger.warning(
-            "LSH band bucket truncated: keeping %d of %d ids "
+            "%s truncated: keeping %d of %d ids "
             "(%d candidate ids dropped; raise max_bucket to trade memory for recall)",
-            max_bucket, len(ids), len(ids) - max_bucket,
+            what, max_bucket, m, m - max_bucket,
         )
-        ids = ids[:max_bucket]
-    if len(ids) < 2:
-        return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
-    pairs = list(itertools.combinations(ids.tolist(), 2))
-    return pd.DataFrame(pairs, columns=["a_id", "b_id"])
+    lens_m = np.minimum(lens_m, max_bucket)
+    a_parts, b_parts = [], []
+    for m in np.unique(lens_m):
+        s_m = starts_m[lens_m == m]
+        docs = d[s_m[:, None] + np.arange(m)]
+        r, c = np.triu_indices(int(m), k=1)
+        a_parts.append(docs[:, r].ravel())
+        b_parts.append(docs[:, c].ravel())
+    if not a_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
 def _dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
@@ -375,16 +386,33 @@ def minhash_lsh_pairs(
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _bucket_pairs(sub, max_bucket)
-            for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return pd.DataFrame(
-                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")}
-            )
-        return pd.concat(outs, ignore_index=True).drop_duplicates(["a_id", "b_id"])
+        """Vectorized pair expansion over every (band_id, band_hash) group in
+        the bucket at once: lexsort-RLE into runs, then
+        :func:`_grouped_triu_pairs` — no Python loop over band groups."""
+        empty = pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")}
+        )
+        bid = g["band_id"].to_numpy().astype(np.int64)
+        bh = g["band_hash"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, bh, bid))
+        b1, b2, dd = bid[order], bh[order], d[order]
+        keep = np.ones(len(dd), bool)
+        keep[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1]) | (dd[1:] != dd[:-1])
+        b1, b2, dd = b1[keep], b2[keep], dd[keep]
+        starts = np.flatnonzero(
+            np.r_[True, (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])]
+        )
+        lens = np.diff(np.append(starts, len(dd)))
+        a, b = _grouped_triu_pairs(starts, lens, dd, max_bucket, "LSH band bucket")
+        if not len(a):
+            return empty
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        st = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pd.DataFrame(
+            {"a_id": a[st].astype("int64"), "b_id": b[st].astype("int64")}
+        )
 
     cand = (
         band_rows.map_batches(bucketize, batch_format="pyarrow")
@@ -819,27 +847,41 @@ def winnow_pairs(
         return t.append_column("bucket", pa.array(b))
 
     def fp_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, sub in g.groupby("fp", sort=False):
-            ids = np.unique(sub["doc_id"].to_numpy())
-            if len(ids) > max_bucket:
-                logger.warning(
-                    "winnow fingerprint bucket truncated: keeping %d of %d docs",
-                    max_bucket, len(ids),
-                )
-                ids = ids[:max_bucket]
-            if len(ids) < 2:
-                continue
-            r, c = np.triu_indices(len(ids), k=1)
-            outs.append(pd.DataFrame({"a_id": ids[r], "b_id": ids[c]}))
-        if not outs:
-            return pd.DataFrame(
-                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
-                 "one": pd.Series(dtype="int64")}
-            )
-        out = pd.concat(outs, ignore_index=True)
-        out["one"] = 1
-        return out.astype({"a_id": "int64", "b_id": "int64", "one": "int64"})
+        """Vectorized per-fingerprint pair expansion: lexsort-RLE the
+        distinct (fp, doc) rows into runs, bucket runs by length so intra-run
+        pairs come from one fancy-index + triu broadcast per distinct
+        length, then locally combine duplicate (a, b) rows so the pair
+        exchange carries one counted row per pair instead of one row per
+        shared fingerprint."""
+        empty = pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+             "one": pd.Series(dtype="int64")}
+        )
+        fp = g["fp"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, fp))
+        f, d = fp[order], d[order]
+        keep = np.ones(len(f), bool)
+        keep[1:] = (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+        f, d = f[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+        lens = np.diff(np.append(starts, len(f)))
+        a, b = _grouped_triu_pairs(
+            starts, lens, d, max_bucket, "winnow fingerprint bucket"
+        )
+        if not len(a):
+            return empty
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        st = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        cnt = np.diff(np.append(st, len(a)))
+        return pd.DataFrame(
+            {
+                "a_id": a[st].astype("int64"),
+                "b_id": b[st].astype("int64"),
+                "one": cnt.astype("int64"),
+            }
+        )
 
     shared = hash_bucket_aggregate(
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
