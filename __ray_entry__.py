@@ -148,6 +148,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "d_lsh_near_dup": D.q_lsh_near_dup,
         "d_semantic_dedup": D.q_semantic_dedup,
         "d_ivf_knn": D.q_ivf_knn,
+        "d_pq_knn": D.q_pq_knn,
         "d_kmeans_assign": D.q_kmeans_assign,
         "d_kmeans_iter": D.q_kmeans_iter,
         # driver-visible recall of every approximate operator vs its exact twin
@@ -155,6 +156,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "d_simhash_recall": D.q_simhash_recall,
         "d_lsh_recall": D.q_lsh_recall,
         "d_ivf_recall": D.q_ivf_recall,
+        "d_pq_recall": D.q_pq_recall,
         "d_ivf_probe_sweep": D.q_ivf_probe_sweep,
         "d_winnow_recall": D.q_winnow_recall,
         "t_token_stats": D.q_token_stats,

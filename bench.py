@@ -131,6 +131,7 @@ QUERY_NAMES = [
     "v_tdigest_quantile_error",
     "d_interleave_starvation",
     "d_source_cap",
+    "d_pq_knn",
 ]
 
 

@@ -406,6 +406,29 @@ def q_ivf_recall(sf_dir: str):
     return _recall_row(exact, approx)
 
 
+def q_pq_knn(sf_dir: str):
+    """Product-quantization approximate kNN (ADC scoring over per-subspace
+    codebooks — the memory-bound scale path; ~32x smaller index than raw
+    float32 embeddings). Recall measured against q_knn by d_pq_recall. No
+    SQL oracle (iterative k-means training)."""
+    from ..stages.similarity import pq_knn
+
+    return pq_knn(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
+def q_pq_recall(sf_dir: str):
+    """Recall of PQ-ADC approximate kNN vs exact brute-force kNN — the
+    driver-visible accuracy meter for the quantized index."""
+    from ..stages.similarity import pq_knn
+
+    def edges(t: pa.Table) -> set:
+        return set(zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist()))
+
+    exact = edges(knn_brute_force(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K))
+    approx = edges(pq_knn(_embs(sf_dir), KNN_QUERY_IDS, k=KNN_K))
+    return _recall_row(exact, approx)
+
+
 def q_two_tier_scores(sf_dir: str):
     """Adaptive two-tier scoring (M2c): cheap alpha-ratio for all rows,
     expensive banded quality score only where cheap < cutoff, keep best.

@@ -650,3 +650,158 @@ def kmeans_iterate(
         )
 
     return ds.map_batches(assign2, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_knn(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_subspaces: int = 16,
+    n_codes: int = 256,
+    rerank: int = 100,
+    seed: int = 7,
+    sample_size: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Product-quantization kNN (Jégou, Douze & Schmid 2011) with fused
+    exact rerank — the memory-bound scale path for embedding search: every
+    corpus vector compresses to ``n_subspaces`` one-byte codes (64-dim
+    float32 → 16 bytes at the defaults, 16×), query scoring is
+    asymmetric-distance lookup (ADC: per query ONE (n_subspaces × n_codes)
+    table of subvector dot products, per corpus vector a table-lookup sum),
+    and the per-query ADC top-``rerank`` shortlist is reranked by true
+    cosine. At 100 TB the persisted index (codes + ids) fits a memory
+    budget raw embeddings cannot, searches touch codes only, and the
+    rerank reads just ``queries × rerank`` raw vectors.
+
+    1. **Train**: per-subspace seeded L2 k-means (fixed Lloyd count →
+       deterministic) on the order-independent seeded-hash sample
+       (:func:`_train_sample_hash`), over unit-normalized vectors so ADC
+       sums approximate cosine.
+    2. **Encode + shortlist + rerank, ONE streaming pass**: each batch is
+       encoded (argmin L2 per subspace, evaluated as the equivalent
+       ``argmax(x·c − ‖c‖²/2)``), ADC-scored for all queries from the
+       broadcast tables, and its per-query ADC top-``rerank`` candidates
+       carry BOTH the ADC score and their true cosine (computed from the
+       raw batch vectors — in production this is the index-build pass, so
+       the raw vectors are present exactly here). The driver merges the
+       bounded partials (blocks × queries × rerank rows), takes the global
+       ADC top-``rerank`` per query, then the top-k by true cosine among
+       them — equal by construction to "global ADC shortlist, then exact
+       rerank". Both selections use STRICT total orders on the ROUNDED
+       score with id tie-break (quantized ADC scores tie often), so the
+       result is block-split-independent and run-deterministic.
+    3. Output (query_id, neighbor_id, cosine) — true cosine, same shape,
+       rounding and ordering as :func:`knn_brute_force` — so
+       ``d_pq_recall`` directly measures how much of the exact top-k the
+       quantized shortlist recovers.
+    """
+    import pyarrow.compute as pc
+
+    sample = _train_sample_hash(ds, sample_size, seed, vec_col, id_col)
+    X = _unit(_matrix(sample, vec_col))
+    d = X.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    d_sub = d // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subspaces, n_codes, d_sub), dtype=np.float64)
+    for m in range(n_subspaces):
+        Xm = X[:, m * d_sub : (m + 1) * d_sub]
+        nc = min(n_codes, len(Xm))
+        cent = Xm[rng.choice(len(Xm), size=nc, replace=False)]
+        for _ in range(10):  # Lloyd iterations (fixed count -> deterministic)
+            scores = Xm @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for c in range(nc):
+                members = Xm[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if nc < n_codes:  # degenerate tiny corpus: repeat the last centroid
+            cent = np.vstack([cent, np.repeat(cent[-1:], n_codes - nc, axis=0)])
+        books[m] = cent
+    half_norms = 0.5 * (books * books).sum(axis=2)  # (M, n_codes)
+
+    qset = set(int(q) for q in query_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(sorted(qset))))
+
+    qt = pa.concat_tables(
+        list(
+            ds.map_batches(grab, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ),
+        promote_options="default",
+    )
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
+    Q = _unit(_matrix(qt, vec_col))
+    # ADC tables: lut[j, m, c] = q_j[m-th subvector] . books[m, c]
+    lut = np.einsum(
+        "jmd,mcd->jmc", Q.reshape(len(Q), n_subspaces, d_sub), books
+    )
+    state_ref = ray.put((books, half_norms, q_ids, Q, lut))
+
+    def local_shortlist(t: pa.Table) -> pa.Table:
+        books_, half_, q_ids_, Q_, lut_ = ray.get(state_ref)
+        Mfull = _unit(_matrix(t, vec_col))
+        M = Mfull.reshape(-1, n_subspaces, d_sub)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        # encode: per subspace argmax(x.c - |c|^2/2) == argmin L2
+        codes = np.argmax(
+            np.einsum("nmd,mcd->nmc", M, books_) - half_[None], axis=2
+        )  # (n, M)
+        m_idx = np.arange(n_subspaces)
+        out_q, out_n, out_a, out_c = [], [], [], []
+        for j in range(len(q_ids_)):
+            keep = ids != q_ids_[j]  # exclude self before the shortlist cut
+            cids = ids[keep]
+            # select under the ROUNDED ADC order — the merge's comparison —
+            # so the union of per-batch shortlists provably contains the
+            # global ADC top-`rerank` whatever the block split
+            adc = round_half_away(
+                lut_[j][m_idx[None, :], codes[keep]].sum(axis=1), ROUND
+            )
+            order = np.lexsort((cids, -adc))[: min(rerank, len(cids))]
+            out_q.append(np.full(len(order), q_ids_[j], dtype=np.int64))
+            out_n.append(cids[order])
+            out_a.append(adc[order])
+            out_c.append(Mfull[keep][order] @ Q_[j])  # true cosine, rerank payload
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "adc": pa.array([], pa.float64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc": pa.array(np.concatenate(out_a), pa.float64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(
+        local_shortlist, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    # global ADC shortlist (strict rounded order, id tie-break) ...
+    cand = cand.sort_values(
+        ["query_id", "adc", "neighbor_id"], ascending=[True, False, True]
+    )
+    short = cand.groupby("query_id", sort=True).head(rerank)
+    # ... then exact rerank by true cosine, same order contract as brute force
+    short = short.assign(
+        cosine=round_half_away(short["cosine"].to_numpy(), ROUND)
+    ).sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = (
+        short.groupby("query_id", sort=True)
+        .head(k)[["query_id", "neighbor_id", "cosine"]]
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -13,12 +13,14 @@ ROWS_ONLY_ALLOWLIST = {
     "d_winnow_pairs",
     "d_lsh_near_dup",
     "d_ivf_knn",
+    "d_pq_knn",
     # ... their driver-visible accuracy meters (exact twin computed inside)
     "d_minhash_recall",
     "d_simhash_recall",
     "d_winnow_recall",
     "d_lsh_recall",
     "d_ivf_recall",
+    "d_pq_recall",
     "d_ivf_probe_sweep",
     "d_edit_distance_recall",
     # mergeable sketches with meters

@@ -234,3 +234,32 @@ def test_train_sample_hash_guards():
     samp = _train_sample_hash(ds, n, seed=3, vec_col="embedding", id_col="vec_id")
     assert len(samp) == n
     assert sorted(samp["vec_id"].to_pylist()) == list(range(n))
+
+
+def test_pq_knn_block_split_invariant_and_recall():
+    """PQ-ADC shortlist + exact rerank: (1) the result is independent of the
+    block split (the strict rounded-order per-batch shortlist makes the
+    bounded merge exact), (2) planted near-identical vectors are recovered,
+    (3) a generous shortlist recovers most of the exact top-k."""
+    import pandas as pd
+
+    from doc_quality_check_ray.stages.similarity import pq_knn
+
+    ds, m = _embs()
+    kwargs = dict(
+        query_ids=[0, 5, 7], k=5, n_subspaces=8, n_codes=32, rerank=64,
+        sample_size=300,
+    )
+    got4 = pq_knn(ds, **kwargs).to_pandas()
+    ds1, _ = _embs()
+    got16 = pq_knn(ds1.repartition(16), **kwargs).to_pandas()
+    pd.testing.assert_frame_equal(got4, got16, check_exact=True)
+
+    # planted duplicates must shortlist + rerank to the top
+    by_q = {q: g.neighbor_id.tolist() for q, g in got4.groupby("query_id")}
+    assert by_q[5][0] == 100 and by_q[7][0] == 200
+
+    exact = knn_brute_force(ds, query_ids=[0, 5, 7], k=5).to_pandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(got4.query_id, got4.neighbor_id))
+    assert len(a & e) / len(e) >= 0.8
