@@ -98,18 +98,21 @@ _R5_FIRST_50 = [
     # -- new this round (oracle-backed): interleave starvation counter and
     #    the per-source contribution cap (both enter the window so their
     #    first driver check happens the round they ship)
-    "d_interleave_starvation", "d_source_cap",
+    "d_interleave_starvation", "d_source_cap", "v_tool_chain_stats",
     # -- anchors: code paths touched this round
     "d_dup_components", "d_dup_cluster_sizes", "d_dedup_keep",
     "d_substring_dup_docs", "d_mix_manifest", "d_curate_keep",
     "d_interleave_sources", "mm_decode", "mm_frame_sample",
     # -- anchors: flagship validation + dedup core
-    "v_all_violations", "v_row_violations", "v_verdicts", "v_column_stats",
+    "v_all_violations", "v_verdicts", "v_column_stats",
     "d_exact_dedup", "d_ngram_jaccard",
 ]
 
-# v_text_len_quantiles rotated out (driver-checked r3, code path untouched
-# this round) to make room for d_source_cap while keeping the window at 50.
+# v_text_len_quantiles and v_row_violations rotated out (driver-checked
+# r3/r1, code paths untouched this round — the row-violation generation
+# path stays window-covered via its superset v_all_violations) to make
+# room for the late-round d_source_cap and v_tool_chain_stats, so new
+# queries get their first driver check the round they ship.
 
 # r_pricing_summary and r_events_by_nation were driver-checked in r1 before
 # the relational family widened; they anchor the family here regardless.
@@ -243,6 +246,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "v_rolling_text_len": V.q_rolling_text_len,
         "v_len_outliers": V.q_len_outliers,
         "v_role_transitions": V.q_role_transitions,
+        "v_tool_chain_stats": V.q_tool_chain_stats,
         "v_response_latency": V.q_response_latency,
         "v_repost_suppression": V.q_repost_suppression,
         "v_dup_key_resolution": V.q_dup_key_resolution,
@@ -411,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "v_rolling_text_len": O.sql_rolling_text_len(),
         "v_len_outliers": O.sql_len_outliers(),
         "v_role_transitions": O.sql_role_transitions(),
+        "v_tool_chain_stats": O.sql_tool_chain_stats(),
         "v_response_latency": O.sql_response_latency(),
         "v_repost_suppression": O.sql_repost_suppression(),
         "v_dup_key_resolution": O.sql_dup_key_resolution(),

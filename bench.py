@@ -132,6 +132,7 @@ QUERY_NAMES = [
     "d_interleave_starvation",
     "d_source_cap",
     "d_pq_knn",
+    "v_tool_chain_stats",
 ]
 
 

@@ -1420,6 +1420,35 @@ GROUP BY prev_role, role
     )
 
 
+def sql_tool_chain_stats() -> str:
+    """Twin of validate.q_tool_chain_stats: gaps-and-islands over
+    ``role='tool'`` runs per conversation — ``rn − row_number()`` within the
+    tool-only subset is constant exactly on maximal consecutive runs.
+    ``row_number`` over (turn_idx, ts) matches the engine's mergesort order;
+    duplicate-key tie rows are byte-identical so run lengths are
+    order-invariant (the sql_role_transitions argument)."""
+    return (
+        TRANSCRIPTS_CTE
+        + """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_chains,
+       CAST(max(chain_len) AS BIGINT) AS max_chain
+FROM (
+  SELECT conv_id, grp, count(*) AS chain_len
+  FROM (
+    SELECT conv_id,
+           rn - row_number() OVER (PARTITION BY conv_id ORDER BY rn) AS grp
+    FROM (
+      SELECT conv_id, role,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS rn
+      FROM transcripts
+    ) WHERE role = 'tool'
+  ) GROUP BY conv_id, grp
+) GROUP BY conv_id
+"""
+    )
+
+
 def sql_len_quantiles_by_source() -> str:
     """Twin of validate.q_len_quantiles_by_source: exact per-source discrete
     quantiles (quantile_disc = sorted element at 1-based ceil(q*n), the same

@@ -440,6 +440,65 @@ def q_role_transitions(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     )
 
 
+def q_tool_chain_stats(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
+    """Tool-call chain profile: per conversation, the number of maximal runs
+    of consecutive ``role='tool'`` turns and the longest such run —
+    (conv_id, n_chains, max_chain) for conversations with ≥1 tool turn.
+    The agent-transcript diagnostic for tool-use structure: long chains are
+    multi-step tool loops, many short chains are scattered single calls.
+
+    Conv-keyed bucket exchange (each conversation lands whole in one
+    bucket); inside a bucket one mergesort + a vectorized gaps-and-islands
+    pass (run starts via a shifted boolean, lengths via ``bincount`` —
+    no Python loop over turns). Null/other roles break runs on both twins;
+    duplicate-key tie rows are byte-identical, so tie order cannot change
+    any run length (the ``q_role_transitions`` argument)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["conv_id"])).hash_rows(seed=11).to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def chains(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        is_tool = (g["role"] == "tool").to_numpy()
+        if not is_tool.any():
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "n_chains": pd.Series(dtype=np.int64),
+                    "max_chain": pd.Series(dtype=np.int64),
+                }
+            )
+        new_conv = np.r_[True, conv[1:] != conv[:-1]]
+        prev_tool = np.r_[False, is_tool[:-1]]
+        start = is_tool & (new_conv | ~prev_tool)
+        chain_id = np.cumsum(start)[is_tool]  # 1-based chain index per tool row
+        lengths = np.bincount(chain_id)[1:]
+        conv_of_chain = conv[is_tool][np.r_[True, chain_id[1:] != chain_id[:-1]]]
+        df = pd.DataFrame({"conv_id": conv_of_chain, "chain_len": lengths})
+        out = df.groupby("conv_id", sort=False, as_index=False).agg(
+            n_chains=("chain_len", "size"), max_chain=("chain_len", "max")
+        )
+        return out.astype({"n_chains": "int64", "max_chain": "int64"})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(chains, batch_format="pandas")
+    )
+
+
 def q_conversation_texts(sf_dir: str, cfg: ValidationConfig = DEFAULT_CONFIG):
     """Ordered per-conversation text assembly: (conv_id, full_text) with
     turns joined by one space in stable (turn_idx, ts) order — the
