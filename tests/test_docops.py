@@ -347,3 +347,34 @@ def test_source_cap_matches_exhaustive_selection(sf_dir):
         want.sort_values(["source", "doc_id"], ignore_index=True),
         check_exact=True,
     )
+
+
+def test_source_cap_partition_invariant():
+    """The per-batch per-source top-k partials must compose to the same
+    final k-set whatever the block split (strict (digest, doc_id) total
+    order makes the bounded merge exact)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    # run the same query body against two partition counts: substitute the
+    # repartitioned corpus for the operator's read, keep its own
+    # map_batches/groupby pipeline
+    def run(n_parts: int) -> pd.DataFrame:
+        ds = ray.data.from_arrow(t).repartition(n_parts)
+        import doc_quality_check_ray.pipelines.documents as mod
+
+        orig = ray.data.read_parquet
+        try:
+            ray.data.read_parquet = lambda *a, **k: ds
+            out = mod.q_source_cap("/root/testdata/sf0.001").to_pandas()
+        finally:
+            ray.data.read_parquet = orig
+        return out.sort_values(["source", "doc_id"], ignore_index=True)
+
+    a, b = run(2), run(13)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
